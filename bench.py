@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Headline benchmark: NPB CG class C time-to-solution on one TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is the speedup over the reference suite's best harnessed backend
+for NPB CG class C (MKL, 51.82 s on the Intel rig,
+/root/reference/results/cgo/cgo_data.csv:6 — see BASELINE.md). Values > 1
+mean faster than the reference.
+
+The run uses df64 (double-word f32) arithmetic so the result is *verified*
+(ζ rel err <= 1e-10) — we benchmark the honest f64-grade computation, not a
+loosened f32 one. Set LILAC_BENCH_CLASS / LILAC_BENCH_DTYPE to override.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    t_start = time.time()
+    class_name = os.environ.get("LILAC_BENCH_CLASS", "C")
+    dtype = os.environ.get("LILAC_BENCH_DTYPE", "df64")
+
+    import jax  # noqa: F401  (platform from env: real TPU under the driver)
+
+    from lilac_tpu.workloads import npb_cg
+
+    res = npb_cg.run(class_name, dtype=dtype)
+
+    baseline_s = {
+        # reference best harnessed backend per class (cgo_data.csv)
+        "S": 0.05,
+        "W": 0.08,
+        "A": 0.23,
+        "B": 19.48,
+        "C": 51.82,
+        "D": 2181.90,
+    }[res.class_name]
+
+    line = {
+        "metric": f"npb_cg_class{res.class_name}_time_to_solution",
+        "value": round(res.time_s, 4),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / res.time_s, 2),
+        "verified": bool(res.verified),
+        "zeta_rel_err": float(f"{res.rel_err:.3e}"),
+        "mops": round(res.mops, 1),
+        "dtype": res.dtype,
+        "kernel": res.kernel,
+        "nnz": res.nnz,
+        "device": str(jax.devices()[0]),
+        "wall_total_s": round(time.time() - t_start, 1),
+    }
+    print(json.dumps(line))
+    return 0 if res.verified or dtype == "f32" else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

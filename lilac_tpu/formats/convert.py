@@ -1,0 +1,230 @@
+"""Host-side (numpy) format construction and conversion.
+
+The reference suite marshals matrices between host CSR and device formats on
+every backend (e.g. 1-based -> 0-based conversion at
+/root/reference/libspmv/opencl.cpp:365-379, JDS transform at
+parboil convert_dataset.c:160+). Here the conversions run once at plan-build
+time; device-side data is immutable thereafter (the TPU analogue of the
+reference's mprotect mutation-trap caches, /root/reference/libspmv/gpu.c:140-209).
+
+All functions take/return numpy; `*_device` wrappers produce jax containers.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from lilac_tpu.formats.sparse import BSR, COO, CSR, ELL, SlicedELL
+
+
+def round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# COO -> canonical CSR (sorted, deduplicated)
+# ---------------------------------------------------------------------------
+
+
+def coo_to_csr_arrays(
+    row: np.ndarray,
+    col: np.ndarray,
+    val: np.ndarray,
+    shape: Tuple[int, int],
+    sum_duplicates: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Build canonical CSR (indptr, indices, data) from COO triples.
+
+    Duplicate (row, col) entries are summed (matching the reference's
+    `sparse` assembly, /root/reference/NPB3.3.1/CG/cg.f:814-871, which sums
+    duplicated outer-product contributions in place).
+    """
+    n, _ = shape
+    order = np.lexsort((col, row))
+    row, col, val = row[order], col[order], val[order]
+    if sum_duplicates and len(row):
+        keep = np.empty(len(row), dtype=bool)
+        keep[0] = True
+        keep[1:] = (row[1:] != row[:-1]) | (col[1:] != col[:-1])
+        group = np.cumsum(keep) - 1
+        uval = np.zeros(int(group[-1]) + 1, dtype=val.dtype)
+        np.add.at(uval, group, val)
+        row, col, val = row[keep], col[keep], uval
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, row + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return (
+        indptr.astype(np.int32),
+        col.astype(np.int32),
+        val,
+    )
+
+
+def csr_device(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    shape: Tuple[int, int],
+    dtype=None,
+    with_row_ids: bool = True,
+) -> CSR:
+    if dtype is not None:
+        data = data.astype(dtype)
+    m = CSR(
+        data=jnp.asarray(data),
+        indices=jnp.asarray(indices, dtype=jnp.int32),
+        indptr=jnp.asarray(indptr, dtype=jnp.int32),
+        shape=tuple(shape),
+    )
+    return m.with_row_ids() if with_row_ids else m
+
+
+def coo_device(row, col, val, shape, dtype=None) -> COO:
+    if dtype is not None:
+        val = val.astype(dtype)
+    return COO(
+        row=jnp.asarray(row, dtype=jnp.int32),
+        col=jnp.asarray(col, dtype=jnp.int32),
+        data=jnp.asarray(val),
+        shape=tuple(shape),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CSR -> ELL / SlicedELL / BSR packing
+# ---------------------------------------------------------------------------
+
+
+def csr_to_ell_arrays(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    shape: Tuple[int, int],
+    row_pad: int = 8,
+    slot_pad: int = 1,
+    max_slots: int | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack CSR into ELL: [nrows_pad, K] values + column indices.
+
+    Padding slots get (index 0, value 0). `row_pad` aligns the row count to
+    the TPU sublane tile; `slot_pad` aligns K (lane dim alignment is handled
+    by the kernel's block specs). Returns (vals, cols).
+    """
+    n = shape[0]
+    counts = np.diff(indptr).astype(np.int64)
+    k = int(counts.max()) if len(counts) and counts.max() > 0 else 1
+    k = round_up(k, slot_pad)
+    if max_slots is not None and k > max_slots:
+        raise ValueError(f"row length {k} exceeds max_slots {max_slots}")
+    npad = round_up(max(n, 1), row_pad)
+    vals = np.zeros((npad, k) + data.shape[1:], dtype=data.dtype)
+    cols = np.zeros((npad, k), dtype=np.int32)
+    # scatter: position of element j within its row
+    rowid = np.repeat(np.arange(n), counts)
+    slot = np.arange(len(indices), dtype=np.int64) - np.repeat(indptr[:-1], counts)
+    vals[rowid, slot] = data
+    cols[rowid, slot] = indices
+    return vals, cols
+
+
+def ell_device(indptr, indices, data, shape, dtype=None, row_pad=8, slot_pad=1) -> ELL:
+    if dtype is not None:
+        data = data.astype(dtype)
+    vals, cols = csr_to_ell_arrays(indptr, indices, data, shape, row_pad, slot_pad)
+    return ELL(data=jnp.asarray(vals), indices=jnp.asarray(cols), shape=tuple(shape))
+
+
+def csr_to_sliced_ell_arrays(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    shape: Tuple[int, int],
+    slice_height: int = 8,
+):
+    """SELL-C packing: sort rows by descending length, pad per slice."""
+    n = shape[0]
+    counts = np.diff(indptr).astype(np.int64)
+    npad = round_up(max(n, 1), slice_height)
+    counts_pad = np.zeros(npad, dtype=np.int64)
+    counts_pad[:n] = counts
+    perm = np.argsort(-counts_pad, kind="stable").astype(np.int32)
+    sorted_counts = counts_pad[perm]
+    nslices = npad // slice_height
+    slice_k = sorted_counts.reshape(nslices, slice_height).max(axis=1)
+    slot_starts = np.zeros(nslices + 1, dtype=np.int64)
+    np.cumsum(slice_k * slice_height, out=slot_starts[1:])
+    total = int(slot_starts[-1])
+    vals = np.zeros((total,) + data.shape[1:], dtype=data.dtype)
+    cols = np.zeros(total, dtype=np.int32)
+    for s in range(nslices):
+        k = int(slice_k[s])
+        base = int(slot_starts[s])
+        for r in range(slice_height):
+            orig = perm[s * slice_height + r]
+            if orig >= n:
+                continue
+            lo, hi = indptr[orig], indptr[orig + 1]
+            # column-major within the slice so lanes stay coalesced
+            dst = base + r + np.arange(hi - lo) * slice_height
+            vals[dst] = data[lo:hi]
+            cols[dst] = indices[lo:hi]
+    return vals, cols, slot_starts.astype(np.int32), perm
+
+
+def csr_to_bsr_arrays(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    shape: Tuple[int, int],
+    block_shape: Tuple[int, int] = (8, 128),
+):
+    """Re-block CSR into BSR with dense (bh, bw) blocks (zero-filled)."""
+    bh, bw = block_shape
+    n, m = shape
+    nbr = (n + bh - 1) // bh
+    counts = np.diff(indptr).astype(np.int64)
+    rowid = np.repeat(np.arange(n), counts)
+    brow = rowid // bh
+    bcol = indices // bw
+    key = brow.astype(np.int64) * ((m + bw - 1) // bw) + bcol
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    uniq, first = np.unique(key_s, return_index=True)
+    nblocks = len(uniq)
+    bvals = np.zeros((nblocks, bh, bw), dtype=data.dtype)
+    block_of = np.searchsorted(uniq, key)
+    lr = rowid % bh
+    lc = indices % bw
+    np.add.at(bvals, (block_of, lr, lc), data)
+    ubrow = (uniq // ((m + bw - 1) // bw)).astype(np.int64)
+    ubcol = (uniq % ((m + bw - 1) // bw)).astype(np.int32)
+    bindptr = np.zeros(nbr + 1, dtype=np.int64)
+    np.add.at(bindptr, ubrow + 1, 1)
+    np.cumsum(bindptr, out=bindptr)
+    return bvals, ubcol, bindptr.astype(np.int32)
+
+
+def bsr_device(indptr, indices, data, shape, block_shape=(8, 128), dtype=None) -> BSR:
+    if dtype is not None:
+        data = data.astype(dtype)
+    bv, bc, bp = csr_to_bsr_arrays(indptr, indices, data, shape, block_shape)
+    return BSR(
+        data=jnp.asarray(bv),
+        indices=jnp.asarray(bc),
+        indptr=jnp.asarray(bp),
+        shape=tuple(shape),
+        block_shape=tuple(block_shape),
+    )
+
+
+def dense_to_csr_arrays(dense: np.ndarray, tol: float = 0.0):
+    """Dense -> CSR, keeping entries with |a_ij| > tol (exact zeros dropped)."""
+    mask = np.abs(dense) > tol
+    row, col = np.nonzero(mask)
+    val = dense[row, col]
+    return coo_to_csr_arrays(
+        row.astype(np.int64), col.astype(np.int64), val, dense.shape
+    )

@@ -1,0 +1,184 @@
+"""Sparse matrix containers as JAX pytrees.
+
+All formats use canonical 0-based indexing (the reference suite's libspmv ABI
+is 1-based Fortran CSR, /root/reference/libspmv/native-impl.c:1-12; I/O
+converters normalise to 0-based on load). Containers are frozen dataclasses
+registered as pytrees so they pass through jit/shard_map/scan transparently;
+`shape` is static metadata.
+
+Values may be stored in any float dtype; for f64-grade precision on TPU the
+double-word representation stores values as a trailing [..., 2] (hi, lo)
+float32 axis (see lilac_tpu.ops.dfloat).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _register(cls, data_fields, meta_fields):
+    return jax.tree_util.register_dataclass(
+        cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
+    )
+
+
+@partial(_register, data_fields=("row", "col", "data"), meta_fields=("shape",))
+@dataclasses.dataclass(frozen=True)
+class COO:
+    """Coordinate format: (row[i], col[i]) -> data[i]."""
+
+    row: jax.Array  # [nnz] int32
+    col: jax.Array  # [nnz] int32
+    data: jax.Array  # [nnz] float
+    shape: Tuple[int, int]
+
+    @property
+    def nnz(self) -> int:
+        return self.row.shape[0]
+
+    def todense(self) -> jax.Array:
+        out = jnp.zeros(self.shape, self.data.dtype)
+        return out.at[self.row, self.col].add(self.data)
+
+
+@partial(
+    _register,
+    data_fields=("data", "indices", "indptr", "row_ids"),
+    meta_fields=("shape",),
+)
+@dataclasses.dataclass(frozen=True)
+class CSR:
+    """Compressed sparse row.
+
+    `row_ids` is an optional precomputed [nnz] row-index expansion of indptr
+    (the segment ids for segment-sum SpMV); None until `with_row_ids()`.
+    """
+
+    data: jax.Array  # [nnz] float (or [nnz, 2] df64)
+    indices: jax.Array  # [nnz] int32 column indices
+    indptr: jax.Array  # [nrows + 1] int32
+    shape: Tuple[int, int]
+    row_ids: jax.Array | None = None
+
+    @property
+    def nnz(self) -> int:
+        return self.indices.shape[0]
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    def with_row_ids(self) -> "CSR":
+        if self.row_ids is not None:
+            return self
+        counts = np.diff(np.asarray(self.indptr))
+        rid = np.repeat(np.arange(self.shape[0], dtype=np.int32), counts)
+        return dataclasses.replace(self, row_ids=jnp.asarray(rid))
+
+    def todense(self) -> jax.Array:
+        me = self.with_row_ids()
+        out = jnp.zeros(self.shape, self.data.dtype)
+        return out.at[me.row_ids, me.indices].add(me.data)
+
+
+@partial(_register, data_fields=("data", "indices"), meta_fields=("shape",))
+@dataclasses.dataclass(frozen=True)
+class ELL:
+    """ELLPACK: every row padded to a fixed number of slots K.
+
+    Padding slots carry index 0 and value 0 so a gather-multiply-reduce over
+    the K axis is exact without masking. Rows may themselves be padded up to
+    a multiple of the TPU sublane tile; `shape` records the logical
+    (unpadded) matrix shape.
+    """
+
+    data: jax.Array  # [nrows_pad, K] float
+    indices: jax.Array  # [nrows_pad, K] int32
+    shape: Tuple[int, int]
+
+    @property
+    def nrows_pad(self) -> int:
+        return self.indices.shape[0]
+
+    @property
+    def slots(self) -> int:
+        return self.indices.shape[1]
+
+    def todense(self) -> jax.Array:
+        n, m = self.shape
+        rid = jnp.broadcast_to(
+            jnp.arange(self.nrows_pad, dtype=jnp.int32)[:, None], self.indices.shape
+        )
+        out = jnp.zeros((self.nrows_pad, m), self.data.dtype)
+        out = out.at[rid, self.indices].add(self.data)
+        return out[:n]
+
+
+@partial(
+    _register,
+    data_fields=("data", "indices", "row_starts", "perm"),
+    meta_fields=("shape", "slice_height"),
+)
+@dataclasses.dataclass(frozen=True)
+class SlicedELL:
+    """Sliced-ELL / SELL-C: rows sorted by length in slices of fixed height,
+    each slice padded only to its own max row length.
+
+    `perm` maps sorted row position -> original row id. `row_starts` gives the
+    flattened slot offset of each slice. Used when row-length variance makes
+    plain ELL padding wasteful (e.g. power-law graphs).
+    """
+
+    data: jax.Array  # [total_slots] float
+    indices: jax.Array  # [total_slots] int32
+    row_starts: jax.Array  # [num_slices + 1] int32 (slot offsets)
+    perm: jax.Array  # [nrows_pad] int32
+    shape: Tuple[int, int]
+    slice_height: int
+
+
+@partial(
+    _register,
+    data_fields=("data", "indices", "indptr"),
+    meta_fields=("shape", "block_shape"),
+)
+@dataclasses.dataclass(frozen=True)
+class BSR:
+    """Block sparse row: CSR over dense (bh, bw) blocks.
+
+    The natural MXU-friendly format — each block multiply is a small dense
+    matmul; with bh=bw>=8 the SpMV maps onto the MXU/VPU without gathers.
+    """
+
+    data: jax.Array  # [nblocks, bh, bw] float
+    indices: jax.Array  # [nblocks] int32 (block-column ids)
+    indptr: jax.Array  # [nblockrows + 1] int32
+    shape: Tuple[int, int]
+    block_shape: Tuple[int, int]
+
+    @property
+    def nblocks(self) -> int:
+        return self.indices.shape[0]
+
+    def todense(self) -> jax.Array:
+        bh, bw = self.block_shape
+        n, m = self.shape
+        nbr = len(self.indptr) - 1
+        counts = np.diff(np.asarray(self.indptr))
+        brow = np.repeat(np.arange(nbr, dtype=np.int32), counts)
+        out = jnp.zeros((nbr * bh, (m + bw - 1) // bw * bw), self.data.dtype)
+        for k in range(self.nblocks):  # host-side debug path only
+            r0 = int(brow[k]) * bh
+            c0 = int(self.indices[k]) * bw
+            out = out.at[r0 : r0 + bh, c0 : c0 + bw].add(self.data[k])
+        return out[:n, :m]

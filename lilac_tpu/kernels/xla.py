@@ -1,0 +1,136 @@
+"""XLA-native SpMV kernels — the correctness anchors and portable baseline.
+
+These are the analogue of the reference's sequential `native.so` backend
+(/root/reference/libspmv/native-impl.c:1-12): always available, used as the
+oracle for Pallas kernels and as the fallback on any platform (CPU tests run
+these). XLA fuses the gather-multiply into the reduction; on TPU the ELL
+path lowers to vectorized dynamic-gathers and is competitive for regular
+matrices, while Pallas kernels take over for the roofline-critical cases.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lilac_tpu.formats.sparse import BSR, COO, CSR, ELL
+from lilac_tpu.kernels.registry import register_kernel
+from lilac_tpu.ops import dfloat as df
+
+
+# ---------------------------------------------------------------------------
+# CSR
+# ---------------------------------------------------------------------------
+
+
+def csr_spmv(A: CSR, x: jax.Array) -> jax.Array:
+    """y = A @ x via gather + sorted segment-sum (requires A.row_ids)."""
+    assert A.row_ids is not None, "call A.with_row_ids() first"
+    prod = A.data * x[A.indices]
+    return jax.ops.segment_sum(
+        prod, A.row_ids, num_segments=A.shape[0], indices_are_sorted=True
+    )
+
+
+def csr_spmv_t(A: CSR, x: jax.Array) -> jax.Array:
+    """y = A.T @ x via scatter-add (the true transpose product; the reference
+    suite's BiCG silently substituted A for A^T, SURVEY.md section 3.5 — we
+    implement the honest semantics)."""
+    assert A.row_ids is not None
+    prod = A.data * x[A.row_ids]
+    return jnp.zeros(A.shape[1], A.data.dtype).at[A.indices].add(prod)
+
+
+register_kernel("xla_csr", csr_spmv, CSR, transpose=csr_spmv_t)
+
+
+# ---------------------------------------------------------------------------
+# COO
+# ---------------------------------------------------------------------------
+
+
+def coo_spmv(A: COO, x: jax.Array) -> jax.Array:
+    prod = A.data * x[A.col]
+    return jnp.zeros(A.shape[0], A.data.dtype).at[A.row].add(prod)
+
+
+def coo_spmv_t(A: COO, x: jax.Array) -> jax.Array:
+    prod = A.data * x[A.row]
+    return jnp.zeros(A.shape[1], A.data.dtype).at[A.col].add(prod)
+
+
+register_kernel("xla_coo", coo_spmv, COO, transpose=coo_spmv_t)
+
+
+# ---------------------------------------------------------------------------
+# ELL
+# ---------------------------------------------------------------------------
+
+
+def ell_spmv(A: ELL, x: jax.Array) -> jax.Array:
+    """y = A @ x: gather [rows, K] then reduce K. Padding is (idx 0, val 0)."""
+    gathered = x[A.indices]
+    y = jnp.sum(A.data * gathered, axis=1)
+    return y[: A.shape[0]]
+
+
+def ell_spmv_t(A: ELL, x: jax.Array) -> jax.Array:
+    xr = jnp.pad(x, (0, A.nrows_pad - A.shape[0]))
+    prod = A.data * xr[:, None]
+    return jnp.zeros(A.shape[1], A.data.dtype).at[A.indices.ravel()].add(prod.ravel())
+
+
+register_kernel("xla_ell", ell_spmv, ELL, transpose=ell_spmv_t)
+
+
+# ---------------------------------------------------------------------------
+# ELL, double-word values (df64): data is [rows, K, 2] (hi, lo)
+# ---------------------------------------------------------------------------
+
+
+def ell_spmv_df(A: ELL, x: df.DF) -> df.DF:
+    """df64 SpMV: TwoProd per element, pairwise df-sum over the K axis.
+
+    The K-axis halving reduction keeps everything vectorized over rows —
+    this is the TPU-shaped answer to 'CSR rows need f64 accumulation'.
+    """
+    a = df.DF(A.data[..., 0], A.data[..., 1])
+    xg = df.DF(x.hi[A.indices], x.lo[A.indices])
+    terms = df.mul(a, xg)
+    y = df.sum_df(terms, axis=1)
+    return df.DF(y.hi[: A.shape[0]], y.lo[: A.shape[0]])
+
+
+register_kernel("xla_ell_df", ell_spmv_df, ELL, dfloat=True)
+
+
+# ---------------------------------------------------------------------------
+# BSR — dense block products (MXU-friendly)
+# ---------------------------------------------------------------------------
+
+
+def bsr_spmv(A: BSR, x: jax.Array) -> jax.Array:
+    bh, bw = A.block_shape
+    nbr = A.indptr.shape[0] - 1
+    # gather x block segments: [nblocks, bw]
+    xseg = x[(A.indices[:, None] * bw + jnp.arange(bw)[None, :]) % A.shape[1]]
+    # mask out-of-range padding columns
+    valid = (A.indices[:, None] * bw + jnp.arange(bw)[None, :]) < A.shape[1]
+    xseg = jnp.where(valid, xseg, 0.0)
+    prod = jnp.einsum(
+        "brc,bc->br", A.data, xseg, preferred_element_type=A.data.dtype
+    )
+    # block-row id of each block from indptr (jit-safe)
+    rowid = (
+        jnp.searchsorted(
+            A.indptr, jnp.arange(A.nblocks, dtype=A.indptr.dtype), side="right"
+        )
+        - 1
+    )
+    yblk = jax.ops.segment_sum(
+        prod, rowid, num_segments=nbr, indices_are_sorted=True
+    )
+    return yblk.reshape(nbr * bh)[: A.shape[0]]
+
+
+register_kernel("xla_bsr", bsr_spmv, BSR)

@@ -1,0 +1,196 @@
+"""Double-word float32 ("df64") arithmetic for f64-grade precision on TPU.
+
+TPU compute units are f32/bf16; XLA's f64 emulation works but is slow and
+scalar-oriented. The NPB CG verification needs ~1e-10 relative accuracy
+(/root/reference/NPB3.3.1/CG/cg.f:363-368), beyond f32. This module
+implements error-free-transformation (Dekker/Knuth) double-word arithmetic:
+a value is (hi, lo) with value = hi + lo and |lo| <= ulp(hi)/2, giving
+~2^-48 relative precision — comfortably inside the 1e-10 tolerance while
+running entirely on the VPU in vectorized f32.
+
+All functions are shape-polymorphic and jit-compatible. A DF is a plain
+(hi, lo) tuple of equal-shaped f32 arrays (a pytree).
+
+References: Dekker 1971; Hida/Li/Bailey QD; the approach is the TPU-native
+answer to the suite's hard f64 requirement (SURVEY.md section 7 hard parts).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class DF(NamedTuple):
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.hi.shape
+
+    @property
+    def dtype(self):
+        return self.hi.dtype
+
+
+_SPLIT = 4097.0  # 2^12 + 1 for f32 (24-bit mantissa -> 12+12 split)
+
+
+def _two_sum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _quick_two_sum(a, b):
+    """Fast TwoSum, requires |a| >= |b|."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _split(a):
+    t = _SPLIT * a
+    ahi = t - (t - a)
+    alo = a - ahi
+    return ahi, alo
+
+
+def _two_prod(a, b):
+    """Dekker TwoProd: p + e == a * b exactly (no FMA dependence)."""
+    p = a * b
+    ahi, alo = _split(a)
+    bhi, blo = _split(b)
+    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, e
+
+
+# ---------------------------------------------------------------------------
+# construction / conversion
+# ---------------------------------------------------------------------------
+
+
+def from_f64(x) -> DF:
+    """Split host float64 data into an exact (hi, lo) f32 pair (on host)."""
+    x = np.asarray(x, dtype=np.float64)
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    return DF(jnp.asarray(hi), jnp.asarray(lo))
+
+
+def from_f32(x) -> DF:
+    x = jnp.asarray(x, jnp.float32)
+    return DF(x, jnp.zeros_like(x))
+
+
+def to_f64(d: DF) -> np.ndarray:
+    return np.asarray(d.hi, dtype=np.float64) + np.asarray(d.lo, dtype=np.float64)
+
+
+def zeros(shape, dtype=jnp.float32) -> DF:
+    z = jnp.zeros(shape, dtype)
+    return DF(z, z)
+
+
+def full(shape, value: float, dtype=jnp.float32) -> DF:
+    v = np.float64(value)
+    hi = np.float32(v)
+    lo = np.float32(v - np.float64(hi))
+    return DF(jnp.full(shape, hi, dtype), jnp.full(shape, lo, dtype))
+
+
+# ---------------------------------------------------------------------------
+# arithmetic
+# ---------------------------------------------------------------------------
+
+
+def add(a: DF, b: DF) -> DF:
+    s, e = _two_sum(a.hi, b.hi)
+    e = e + (a.lo + b.lo)
+    hi, lo = _quick_two_sum(s, e)
+    return DF(hi, lo)
+
+
+def neg(a: DF) -> DF:
+    return DF(-a.hi, -a.lo)
+
+
+def sub(a: DF, b: DF) -> DF:
+    return add(a, neg(b))
+
+
+def mul(a: DF, b: DF) -> DF:
+    p, e = _two_prod(a.hi, b.hi)
+    e = e + (a.hi * b.lo + a.lo * b.hi)
+    hi, lo = _quick_two_sum(p, e)
+    return DF(hi, lo)
+
+
+def mul_f32(a: DF, b) -> DF:
+    p, e = _two_prod(a.hi, b)
+    e = e + a.lo * b
+    hi, lo = _quick_two_sum(p, e)
+    return DF(hi, lo)
+
+
+def div(a: DF, b: DF) -> DF:
+    q1 = a.hi / b.hi
+    r = sub(a, mul_f32(b, q1))
+    q2 = r.hi / b.hi
+    r = sub(r, mul_f32(b, q2))
+    q3 = r.hi / b.hi
+    hi, lo = _quick_two_sum(q1, q2)
+    return add(DF(hi, lo), from_f32(q3))
+
+
+def sqrt(a: DF) -> DF:
+    s = jnp.sqrt(a.hi)
+    # one Newton step in df: s' = s + (a - s^2) / (2 s)
+    s_df = from_f32(s)
+    diff = sub(a, mul(s_df, s_df))
+    corr = diff.hi / (2.0 * s)
+    return add(s_df, from_f32(corr))
+
+
+def rsqrt(a: DF) -> DF:
+    one = full((), 1.0)
+    return div(one, sqrt(a))
+
+
+# ---------------------------------------------------------------------------
+# reductions
+# ---------------------------------------------------------------------------
+
+
+def sum_df(a: DF, axis: int = -1) -> DF:
+    """Accurate reduction along an axis by pairwise df-addition halving.
+
+    O(log n) vectorized df-add steps; each step is exact-compensated, so the
+    final error is O(log n * 2^-48) relative — effectively f64 quality.
+    """
+    hi = jnp.moveaxis(a.hi, axis, -1)
+    lo = jnp.moveaxis(a.lo, axis, -1)
+    n = hi.shape[-1]
+    while n > 1:
+        half = (n + 1) // 2
+        pad = half * 2 - n
+        if pad:
+            hi = jnp.pad(hi, [(0, 0)] * (hi.ndim - 1) + [(0, pad)])
+            lo = jnp.pad(lo, [(0, 0)] * (lo.ndim - 1) + [(0, pad)])
+        x = DF(hi[..., :half], lo[..., :half])
+        y = DF(hi[..., half:], lo[..., half:])
+        r = add(x, y)
+        hi, lo = r.hi, r.lo
+        n = half
+    return DF(hi[..., 0], lo[..., 0])
+
+
+def dot(a: DF, b: DF) -> DF:
+    """Accurate dot product of two df vectors (TwoProd + pairwise df-sum)."""
+    prods = mul(a, b)
+    return sum_df(prods, axis=-1)

@@ -1,0 +1,141 @@
+"""SpmvPlan — staged, immutable matrix execution plans.
+
+The reference's native backends cache device mirrors of the matrix and
+invalidate them with mprotect/SIGSEGV traps when the host mutates the data
+(/root/reference/libspmv/gpu.c:140-209, mkl.c:15-26); SparseX additionally
+runs a one-time tuning pass (/root/reference/libspmv/sparsex.c:68-70). The
+TPU-native counterpart is this plan object: built once from host CSR, it
+(1) chooses a kernel + device format (the libspmv backend zoo + SVM gate,
+mkl-model.c:152), (2) packs/pads/uploads device buffers, and (3) exposes
+jit-compatible matvec closures. Matrices are immutable by construction —
+mutate the host data, build a new plan (explicit re-tune instead of traps).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from lilac_tpu.formats import convert
+from lilac_tpu.formats.sparse import CSR, ELL
+from lilac_tpu.kernels import xla as _xla
+from lilac_tpu.ops import dfloat as df
+
+
+class SpmvPlan:
+    """Single-chip plan. For distributed plans see lilac_tpu.parallel.
+
+    Parameters
+    ----------
+    indptr, indices, data : host CSR (0-based canonical), data float64/float32
+    shape : (nrows, ncols)
+    dtype : 'f32' | 'f64' | 'bf16' | 'df64' value policy on device
+    kernel : 'auto' | registry name
+    """
+
+    def __init__(
+        self,
+        indptr: np.ndarray,
+        indices: np.ndarray,
+        data: np.ndarray,
+        shape: Tuple[int, int],
+        *,
+        dtype: str = "f32",
+        kernel: str = "auto",
+    ):
+        self.shape = tuple(shape)
+        self.nnz = int(len(indices))
+        self.dtype = dtype
+        counts = np.diff(indptr)
+        self.row_stats = dict(
+            nrows=shape[0],
+            nnz=self.nnz,
+            max_row=int(counts.max()) if len(counts) else 0,
+            mean_row=float(counts.mean()) if len(counts) else 0.0,
+            std_row=float(counts.std()) if len(counts) else 0.0,
+        )
+        if kernel == "auto":
+            kernel = self._select_kernel()
+        self.kernel = kernel
+
+        if kernel in ("xla_ell", "pallas_ell"):
+            jt = {"f32": np.float32, "f64": np.float64, "bf16": np.float32}[dtype]
+            self.A = convert.ell_device(
+                indptr, indices, data, shape, dtype=jt, row_pad=8
+            )
+            if dtype == "bf16":
+                import dataclasses as _dc
+
+                self.A = _dc.replace(self.A, data=self.A.data.astype(jnp.bfloat16))
+        elif kernel == "xla_ell_df":
+            hi = data.astype(np.float32)
+            lo = (data - hi.astype(np.float64)).astype(np.float32)
+            vals = np.stack([hi, lo], axis=-1)  # [nnz, 2]
+            v, c = convert.csr_to_ell_arrays(indptr, indices, vals, shape, row_pad=8)
+            self.A = ELL(data=jnp.asarray(v), indices=jnp.asarray(c), shape=self.shape)
+        elif kernel == "xla_csr":
+            jt = {"f32": np.float32, "f64": np.float64}[dtype]
+            self.A = convert.csr_device(indptr, indices, data, shape, dtype=jt)
+        else:
+            raise ValueError(f"kernel {kernel!r} not wired into SpmvPlan yet")
+
+    def _select_kernel(self) -> str:
+        """Heuristic kernel/format gate (to be replaced by the learned
+        predictor in lilac_tpu.autotune — the mkl-model.c analogue)."""
+        if self.dtype == "df64":
+            return "xla_ell_df"
+        s = self.row_stats
+        # ELL wastes (max-mean)/mean padding; accept modest waste for the
+        # vectorized gather-reduce shape.
+        if s["max_row"] <= 4 * max(s["mean_row"], 1.0) or s["max_row"] <= 64:
+            return "xla_ell"
+        return "xla_csr"
+
+    # -- value conversion helpers -------------------------------------------
+
+    def vec_in(self, x: np.ndarray):
+        """Host f64 vector -> device value in the plan's dtype policy."""
+        if self.dtype == "df64":
+            return df.from_f64(x)
+        jt = {"f32": jnp.float32, "f64": jnp.float64, "bf16": jnp.bfloat16}[self.dtype]
+        return jnp.asarray(np.asarray(x), dtype=jt)
+
+    def vec_out(self, y) -> np.ndarray:
+        if self.dtype == "df64":
+            return df.to_f64(y)
+        return np.asarray(y, dtype=np.float64)
+
+    # -- matvec closures (jit-compatible; A is a pytree argument) -----------
+
+    def matvec_with(self, A, x):
+        """Pure matvec with the container passed explicitly (for jit args)."""
+        if self.kernel == "xla_ell":
+            return _xla.ell_spmv(A, x)
+        if self.kernel == "xla_ell_df":
+            return _xla.ell_spmv_df(A, x)
+        if self.kernel == "xla_csr":
+            return _xla.csr_spmv(A, x)
+        if self.kernel == "pallas_ell":
+            from lilac_tpu.kernels import pallas_ell
+
+            return pallas_ell.ell_spmv_pallas(A, x)
+        raise ValueError(self.kernel)
+
+    def matvec_t_with(self, A, x):
+        if self.kernel in ("xla_ell", "pallas_ell"):
+            return _xla.ell_spmv_t(A, x)
+        if self.kernel == "xla_csr":
+            return _xla.csr_spmv_t(A, x)
+        raise ValueError(f"transpose not available for {self.kernel}")
+
+    def matvec(self, x):
+        return self.matvec_with(self.A, x)
+
+    def matvec_t(self, x):
+        return self.matvec_t_with(self.A, x)
+
+    def __call__(self, x):
+        return self.matvec(x)

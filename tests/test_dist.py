@@ -1,0 +1,88 @@
+"""Distributed SpMV + CG on the 8-device virtual CPU mesh.
+
+Validates the sharding story the driver's dryrun exercises: row-block ELL
+over a 1-D mesh, all-gather matvec, psum/compensated dot products, whole
+solvers inside one shard_map.
+"""
+
+import jax
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from lilac_tpu.generate.npb import CLASSES, make_cg_matrix
+from lilac_tpu.parallel.dist import (
+    DistSpmvPlan,
+    dist_cg_solve,
+    dist_npb_power_method,
+    make_mesh,
+)
+from tests.conftest import random_csr
+
+
+def _square_csr(rng, n=96):
+    (indptr, indices, data), shape = random_csr(rng, n, n, 0.08)
+    return indptr, indices, data, shape
+
+
+@pytest.mark.parametrize("dtype", ["f32", "f64", "df64"])
+def test_dist_matvec_matches_oracle(rng, dtype):
+    indptr, indices, data, shape = _square_csr(rng)
+    mesh = make_mesh(8)
+    plan = DistSpmvPlan.build(indptr, indices, data, shape, mesh, dtype=dtype)
+    x = rng.normal(size=shape[0])
+    ref = sp.csr_matrix((data, indices, indptr), shape=shape) @ x
+
+    from jax.sharding import PartitionSpec as P
+
+    xd = plan.vec_in(x)
+    vs = jax.tree.map(lambda _: P(plan.axis), xd)
+    f = jax.jit(
+        jax.shard_map(
+            plan.local_matvec,
+            mesh=mesh,
+            in_specs=(plan.a_specs, vs),
+            out_specs=vs,
+            check_vma=False,
+        )
+    )
+    y = plan.vec_out(f((plan.data, plan.indices), xd))
+    rtol = {"f32": 3e-5, "f64": 1e-12, "df64": 5e-13}[dtype]
+    np.testing.assert_allclose(y, ref, rtol=rtol, atol=rtol)
+
+
+@pytest.mark.parametrize("dtype", ["f64", "df64"])
+def test_dist_npb_class_s_verifies(dtype):
+    """NPB CG class S ζ check on an 8-way sharded matrix — the multi-chip
+    verification target from BASELINE.md."""
+    indptr, indices, data, cls = make_cg_matrix("S")
+    mesh = make_mesh(8)
+    plan = DistSpmvPlan.build(
+        indptr, indices, data, (cls.na, cls.na), mesh, dtype=dtype
+    )
+    x0 = plan.vec_in(np.ones(cls.na))
+    zetas, rnorms, xf = dist_npb_power_method(plan, x0, cls.shift, cls.niter)
+    if dtype == "df64":
+        from lilac_tpu.ops import dfloat as df
+
+        zeta = float(df.to_f64(zetas)[-1])
+    else:
+        zeta = float(np.asarray(zetas)[-1])
+    rel = abs(zeta - cls.zeta_verify) / cls.zeta_verify
+    assert rel <= 1e-10, f"zeta={zeta} rel={rel:.3e}"
+
+
+def test_dist_cg_solve_spd(rng):
+    """Distributed general CG on an SPD system vs scipy direct solve."""
+    n = 64
+    Q = rng.normal(size=(n, n))
+    A_dense = Q @ Q.T + n * np.eye(n)
+    from lilac_tpu.formats.convert import dense_to_csr_arrays
+
+    indptr, indices, data = dense_to_csr_arrays(A_dense)
+    mesh = make_mesh(4)
+    plan = DistSpmvPlan.build(indptr, indices, data, (n, n), mesh, dtype="f64")
+    b = rng.normal(size=n)
+    x, it, rnorm = dist_cg_solve(plan, plan.vec_in(b), maxit=200, rtol=1e-10)
+    x_ref = np.linalg.solve(A_dense, b)
+    np.testing.assert_allclose(plan.vec_out(x), x_ref, rtol=1e-6, atol=1e-8)

@@ -1,0 +1,131 @@
+"""SpMV kernels vs dense/scipy oracle (the parboil-style tolerance compare,
+/root/reference/parboil/benchmarks/spmv/tools/compare-output:17-25, but
+tighter since we control the arithmetic)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from lilac_tpu.formats import convert
+from lilac_tpu.kernels import xla as kx
+from lilac_tpu.ops import dfloat as df
+from lilac_tpu.ops.spmv import spmv, spmv_t, spmm
+from lilac_tpu.plan import SpmvPlan
+
+
+def _oracle(small_csr, rng):
+    (indptr, indices, data), shape = small_csr
+    x = rng.normal(size=shape[1])
+    xt = rng.normal(size=shape[0])
+    A = sp.csr_matrix((data, indices, indptr), shape=shape)
+    return (indptr, indices, data), shape, x, xt, A @ x, A.T @ xt
+
+
+def test_csr_spmv(small_csr, rng):
+    arrs, shape, x, xt, y_ref, yt_ref = _oracle(small_csr, rng)
+    A = convert.csr_device(*arrs, shape)
+    y = kx.csr_spmv(A, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-12)
+    yt = kx.csr_spmv_t(A, jnp.asarray(xt))
+    np.testing.assert_allclose(np.asarray(yt), yt_ref, rtol=1e-12)
+
+
+def test_ell_spmv(small_csr, rng):
+    arrs, shape, x, xt, y_ref, yt_ref = _oracle(small_csr, rng)
+    A = convert.ell_device(*arrs, shape)
+    y = kx.ell_spmv(A, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-12)
+    yt = kx.ell_spmv_t(A, jnp.asarray(xt))
+    np.testing.assert_allclose(np.asarray(yt), yt_ref, rtol=1e-12)
+
+
+def test_coo_spmv(small_csr, rng):
+    arrs, shape, x, xt, y_ref, yt_ref = _oracle(small_csr, rng)
+    indptr, indices, data = arrs
+    counts = np.diff(indptr)
+    row = np.repeat(np.arange(shape[0]), counts)
+    A = convert.coo_device(row, indices, data, shape)
+    np.testing.assert_allclose(np.asarray(kx.coo_spmv(A, jnp.asarray(x))), y_ref, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(kx.coo_spmv_t(A, jnp.asarray(xt))), yt_ref, rtol=1e-12
+    )
+
+
+def test_bsr_spmv(small_csr, rng):
+    arrs, shape, x, xt, y_ref, yt_ref = _oracle(small_csr, rng)
+    A = convert.bsr_device(*arrs, shape, block_shape=(8, 16))
+    y = kx.bsr_spmv(A, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-10)
+
+
+def test_ell_spmv_df64(small_csr, rng):
+    """df64 SpMV must reach ~1e-13 relative accuracy vs the f64 oracle."""
+    arrs, shape, x, xt, y_ref, yt_ref = _oracle(small_csr, rng)
+    indptr, indices, data = arrs
+    hi = data.astype(np.float32)
+    lo = (data - hi.astype(np.float64)).astype(np.float32)
+    vals = np.stack([hi, lo], axis=-1)
+    v, c = convert.csr_to_ell_arrays(indptr, indices, vals, shape, row_pad=8)
+    from lilac_tpu.formats.sparse import ELL
+
+    A = ELL(data=jnp.asarray(v), indices=jnp.asarray(c), shape=shape)
+    y = kx.ell_spmv_df(A, df.from_f64(x))
+    np.testing.assert_allclose(df.to_f64(y), y_ref, rtol=5e-13, atol=1e-13)
+
+
+def test_spmv_dispatch_and_spmm(small_csr, rng):
+    arrs, shape, x, xt, y_ref, yt_ref = _oracle(small_csr, rng)
+    A = convert.csr_device(*arrs, shape)
+    np.testing.assert_allclose(np.asarray(spmv(A, jnp.asarray(x))), y_ref, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(spmv_t(A, jnp.asarray(xt))), yt_ref, rtol=1e-12)
+    X = rng.normal(size=(shape[1], 3))
+    Y = spmm(A, jnp.asarray(X))
+    ref = sp.csr_matrix((arrs[2], arrs[1], arrs[0]), shape=shape) @ X
+    np.testing.assert_allclose(np.asarray(Y), ref, rtol=1e-12)
+
+
+def test_spmv_under_jit(small_csr, rng):
+    arrs, shape, x, _, y_ref, _ = _oracle(small_csr, rng)
+    A = convert.csr_device(*arrs, shape)
+    y = jax.jit(spmv)(A, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-12)
+
+
+@pytest.mark.parametrize("dtype", ["f64", "f32", "df64"])
+def test_plan(small_csr, rng, dtype):
+    arrs, shape, x, _, y_ref, _ = _oracle(small_csr, rng)
+    plan = SpmvPlan(*arrs, shape, dtype=dtype)
+    y = plan.vec_out(plan.matvec(plan.vec_in(x)))
+    rtol = {"f64": 1e-12, "f32": 2e-5, "df64": 5e-13}[dtype]
+    np.testing.assert_allclose(y, y_ref, rtol=rtol, atol=rtol)
+
+
+def test_dfloat_primitives():
+    a = df.from_f64(np.array([1.0 / 3.0, 1e8, -2.5e-7]))
+    b = df.from_f64(np.array([2.0 / 7.0, 3.7e-8, 1e9]))
+    np.testing.assert_allclose(
+        df.to_f64(df.add(a, b)),
+        np.array([1 / 3 + 2 / 7, 1e8 + 3.7e-8, -2.5e-7 + 1e9]),
+        rtol=1e-14,
+    )
+    np.testing.assert_allclose(
+        df.to_f64(df.mul(a, b)),
+        np.array([(1 / 3) * (2 / 7), 1e8 * 3.7e-8, -2.5e-7 * 1e9]),
+        rtol=1e-13,
+    )
+    np.testing.assert_allclose(
+        df.to_f64(df.div(a, b)),
+        np.array([(1 / 3) / (2 / 7), 1e8 / 3.7e-8, -2.5e-7 / 1e9]),
+        rtol=1e-13,
+    )
+    s = df.from_f64(np.array(2.0))
+    np.testing.assert_allclose(df.to_f64(df.sqrt(s)), np.sqrt(2.0), rtol=1e-14)
+
+
+def test_dfloat_dot_accuracy(rng):
+    x = rng.normal(size=4096)
+    y = rng.normal(size=4096)
+    got = df.to_f64(df.dot(df.from_f64(x), df.from_f64(y)))
+    np.testing.assert_allclose(got, np.dot(x, y), rtol=1e-12, atol=1e-12)
