@@ -1,0 +1,105 @@
+"""Matrix file I/O — host side.
+
+Covers the reference suite's three on-disk formats:
+* Matrix Market coordinate files (parboil's mmio.c + convert_dataset.c
+  semantics: 1-based input, symmetric mirroring of off-diagonal entries,
+  /root/reference/parboil/benchmarks/spmv/common_src/convert-dataset/
+  convert_dataset.c:82-158) — normalised here to 0-based canonical CSR.
+* SparseBench CRS text format (`n nnz` header, n+1 pointer lines, nnz
+  `(colidx, value)` lines, 1-based; big_gen.py:50-57).
+* The BFS edge-list format (header `rows cols nnz`, then 1-based `x y`
+  pairs, all values 1.0; bfs/library.cc:169-184). The reference's 2-based
+  colidx quirk is not reproduced (SURVEY.md section 3.5).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from lilac_tpu.formats.convert import coo_to_csr_arrays
+
+
+def read_matrix_market(path: str):
+    """Returns (indptr, indices, data, shape), 0-based canonical CSR."""
+    with open(path) as f:
+        header = f.readline()
+        if not header.startswith("%%MatrixMarket"):
+            raise ValueError(f"{path}: not a MatrixMarket file")
+        parts = header.lower().split()
+        fmt, field, symm = parts[2], parts[3], parts[4]
+        if fmt != "coordinate":
+            raise NotImplementedError("only coordinate MatrixMarket supported")
+        line = f.readline()
+        while line.startswith("%"):
+            line = f.readline()
+        rows, cols, nnz = map(int, line.split())
+        data = np.loadtxt(f, ndmin=2) if nnz else np.zeros((0, 3))
+    if data.shape[0] != nnz:
+        raise ValueError(f"{path}: expected {nnz} entries, got {data.shape[0]}")
+    r = data[:, 0].astype(np.int64) - 1
+    c = data[:, 1].astype(np.int64) - 1
+    if field == "pattern":
+        v = np.ones(len(r), dtype=np.float64)
+    else:
+        v = data[:, 2].astype(np.float64)
+    if symm in ("symmetric", "skew-symmetric", "hermitian"):
+        off = r != c
+        sgn = -1.0 if symm == "skew-symmetric" else 1.0
+        r = np.concatenate([r, c[off]])
+        c = np.concatenate([c, data[off, 0].astype(np.int64) - 1])
+        v = np.concatenate([v, sgn * v[off]])
+    indptr, indices, vals = coo_to_csr_arrays(r, c, v, (rows, cols))
+    return indptr, indices, vals, (rows, cols)
+
+
+def read_sparsebench_crs(path: str):
+    """SparseBench on-disk CRS (1-based) -> 0-based canonical CSR."""
+    with open(path) as f:
+        n, nnz = map(int, f.readline().split())
+        ptr = np.empty(n + 1, dtype=np.int64)
+        for i in range(n + 1):
+            ptr[i] = int(f.readline())
+        idx = np.empty(nnz, dtype=np.int64)
+        val = np.empty(nnz, dtype=np.float64)
+        for k in range(nnz):
+            a, b = f.readline().split()
+            idx[k] = int(a)
+            val[k] = float(b)
+    # rows from ptr; entries may be unsorted within rows -> canonicalise
+    counts = np.diff(ptr)
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    return coo_to_csr_arrays(rows, idx - 1, val, (n, n)) + ((n, n),)
+
+
+def write_sparsebench_crs(path: str, indptr, indices, data, shape):
+    """Write the SparseBench text format (1-based, big_gen.py layout)."""
+    n = shape[0]
+    nnz = len(indices)
+    with open(path, "w") as f:
+        f.write(f"{n:12d}{nnz:12d}\n")
+        for p in indptr:
+            f.write(f"{int(p) + 1:12d}\n")
+        for i, v in zip(indices, data):
+            f.write(f"{int(i) + 1:12d} {v:20.17f}\n")
+
+
+def read_edgelist(path_or_file, zero_based: bool = False):
+    """BFS edge-list -> 0-based canonical CSR with unit values."""
+    close = False
+    f = path_or_file
+    if isinstance(path_or_file, str):
+        f = open(path_or_file)
+        close = True
+    try:
+        rows, cols, nnz = map(int, f.readline().split())
+        data = np.loadtxt(f, dtype=np.int64, ndmin=2)
+    finally:
+        if close:
+            f.close()
+    base = 0 if zero_based else 1
+    r = data[:, 0] - base
+    c = data[:, 1] - base
+    v = np.ones(len(r), dtype=np.float64)
+    return coo_to_csr_arrays(r, c, v, (rows, cols)) + ((rows, cols),)

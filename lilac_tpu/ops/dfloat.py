@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,10 +39,20 @@ class DF(NamedTuple):
 
 _SPLIT = 4097.0  # 2^12 + 1 for f32 (24-bit mantissa -> 12+12 split)
 
+# Error-free transformations are numerically load-bearing: every
+# intermediate must be the exactly-rounded f32 result. XLA's HLO optimizer
+# algebraically cancels patterns like `s - a` after `s = a + b` when the
+# whole chain fuses, silently turning the compensated arithmetic back into
+# plain f32 (measured: jitted df64 CG stalled at residual 6e-6 while the
+# op-by-op execution of the SAME code reached 2.6e-12). An
+# optimization_barrier on each EFT's primary result makes it opaque to the
+# simplifier; the remaining ops still fuse.
+_eft_barrier = jax.lax.optimization_barrier
+
 
 def _two_sum(a, b):
     """Knuth TwoSum: s + e == a + b exactly."""
-    s = a + b
+    s = _eft_barrier(a + b)
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
     return s, e
@@ -49,13 +60,13 @@ def _two_sum(a, b):
 
 def _quick_two_sum(a, b):
     """Fast TwoSum, requires |a| >= |b|."""
-    s = a + b
+    s = _eft_barrier(a + b)
     e = b - (s - a)
     return s, e
 
 
 def _split(a):
-    t = _SPLIT * a
+    t = _eft_barrier(_SPLIT * a)
     ahi = t - (t - a)
     alo = a - ahi
     return ahi, alo
@@ -63,7 +74,7 @@ def _split(a):
 
 def _two_prod(a, b):
     """Dekker TwoProd: p + e == a * b exactly (no FMA dependence)."""
-    p = a * b
+    p = _eft_barrier(a * b)
     ahi, alo = _split(a)
     bhi, blo = _split(b)
     e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
@@ -110,9 +121,20 @@ def full(shape, value: float, dtype=jnp.float32) -> DF:
 
 
 def add(a: DF, b: DF) -> DF:
-    s, e = _two_sum(a.hi, b.hi)
-    e = e + (a.lo + b.lo)
-    hi, lo = _quick_two_sum(s, e)
+    """Accurate (QD 'ieee') double-word addition.
+
+    The cheaper 'sloppy' variant (e = e + a.lo + b.lo in one step) loses
+    relative accuracy under heavy cancellation — exactly what CG residual
+    updates do — and cost NPB classes W/A their 1e-10 ζ tolerance
+    (measured ~4.5e-8 with the sloppy add). This version keeps ~2^-48
+    relative error even when hi components cancel.
+    """
+    s1, s2 = _two_sum(a.hi, b.hi)
+    t1, t2 = _two_sum(a.lo, b.lo)
+    s2 = s2 + t1
+    s1, s2 = _quick_two_sum(s1, s2)
+    s2 = s2 + t2
+    hi, lo = _quick_two_sum(s1, s2)
     return DF(hi, lo)
 
 

@@ -20,7 +20,12 @@ class FloatAlg:
         self.dtype = dtype
 
     def dot(self, u, v):
-        return jnp.dot(u, v, preferred_element_type=self.dtype)
+        # NOT jnp.dot: on TPU under x64, the f64 dot_general emulation is
+        # only ~1e-8 accurate, while elementwise multiply + reduce-sum is
+        # faithfully emulated (measured: dot/vdot/einsum rel err 7.9e-9 vs
+        # sum(u*v) 1.6e-15 on the same vector). The NPB zeta check needs the
+        # accurate form; XLA fuses this into a single reduction anyway.
+        return jnp.sum(u * v)
 
     def add(self, u, v):
         return u + v

@@ -57,10 +57,10 @@ def npb_power_method(
     Returns (zeta_history, rnorm_history, x_final) — zeta/rnorm as the
     algebra's scalar type, stacked over iterations.
     """
-    shift_s = alg.scalar(shift)
-    one = alg.scalar(1.0)
 
     def step(x, _):
+        shift_s = alg.scalar(shift)
+        one = alg.scalar(1.0)
         z, rnorm = npb_conj_grad(matvec, alg, A, x, cgitmax)
         norm1 = alg.dot(x, z)
         norm2 = alg.dot(z, z)

@@ -67,16 +67,18 @@ def run(
 
     x0 = plan.vec_in(np.ones(cls.na, dtype=np.float64))
 
-    # untimed warm-up iteration (cg.f:233-272) doubles as compile warm-up
+    # untimed warm-up iteration (cg.f:233-272) doubles as compile warm-up.
+    # Timing forces a host readback of the scalar history: under the axon
+    # TPU tunnel block_until_ready can return before execution completes,
+    # so device->host transfer is the only trustworthy completion fence.
     zetas, rnorms, xf = runner(plan.A, x0)
-    jax.block_until_ready(zetas)
+    _scalars_to_f64(zetas, dtype)
 
     t0 = time.perf_counter()
     zetas, rnorms, xf = runner(plan.A, x0)
-    jax.block_until_ready(zetas)
+    zeta_hist = _scalars_to_f64(zetas, dtype)
     t = time.perf_counter() - t0
 
-    zeta_hist = _scalars_to_f64(zetas, dtype)
     rnorm_hist = _scalars_to_f64(rnorms, dtype)
     zeta = float(zeta_hist[-1])
     rel_err = abs(zeta - cls.zeta_verify) / cls.zeta_verify
