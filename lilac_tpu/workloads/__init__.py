@@ -1,1 +1,1 @@
-from lilac_tpu.workloads import npb_cg  # noqa: F401
+from lilac_tpu.workloads import npb_cg, sparsebench  # noqa: F401

@@ -1,0 +1,182 @@
+"""SparseBench workload (Dongarra/Eijkhout/van der Vorst 0.9.7).
+
+End-to-end reproduction of the reference benchmark's validated protocol
+(/root/reference/SparseBench/Validate, Scripts/validate.pl:14-27):
+for each (sym, size, structure, preconditioner) case, run the solver with
+maxit=10 / rtol=1e-6 on the exactly-regenerated test matrix and report
+(iterations, last residual) — matched against the shipped golden table
+`reference_results` (iterations exact, residual within 5%).
+
+Structures: 1 = regular 7-point 3D stencil, 2 = random CRS.
+Preconditioners: 0 = none, 2 = ILU-D, 3 = block-Jacobi (structure 1 only).
+Symmetric cases run CG (iter_symm.f), unsymmetric run GMRES(restart=maxit)
+(iter.f; the Test harness pipes method=2, /root/reference/SparseBench/Test:84).
+
+Matvec runs through the framework's SpMV kernels; ILU-D triangular sweeps
+run level-scheduled on device (lilac_tpu.solvers.tri).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lilac_tpu.generate import sparsebench_gen as gen
+from lilac_tpu.solvers import sb_iter, tri
+
+MAXIT = 10  # main_symm.f:25 (the validated runs; the general driver's knob)
+RTOL = 1e-6  # main_symm.f:353 / main.f:365
+
+# /root/reference/SparseBench/reference_results — golden
+# (sym, size, structure, precond) -> (iterations, final residual)
+GOLDEN: Dict[Tuple[str, int, int, int], Tuple[int, float]] = {
+    ("s", 10, 1, 0): (10, 0.4431805e02),
+    ("s", 10, 1, 2): (10, 0.3228609e02),
+    ("s", 10, 1, 3): (10, 0.5332104e02),
+    ("s", 20, 1, 0): (10, 0.1210367e03),
+    ("s", 20, 1, 2): (10, 0.1194823e03),
+    ("s", 20, 1, 3): (10, 0.1158542e03),
+    ("s", 10, 2, 0): (10, 0.2054096e01),
+    ("s", 10, 2, 2): (10, 0.1125013e-02),
+    ("s", 20, 2, 0): (10, 0.6497621e01),
+    ("s", 20, 2, 2): (10, 0.8595296e-02),
+    ("u", 10, 1, 0): (10, 0.1272991e02),
+    ("u", 10, 1, 2): (10, 0.1452494e00),
+    ("u", 10, 1, 3): (10, 0.3890641e01),
+    ("u", 20, 1, 0): (10, 0.5875211e02),
+    ("u", 20, 1, 2): (10, 0.2006042e02),
+    ("u", 20, 1, 3): (10, 0.4298484e02),
+    ("u", 10, 2, 0): (10, 0.6282183e00),
+    ("u", 10, 2, 2): (8, 0.8562056e-05),
+    ("u", 20, 2, 0): (10, 0.2737278e01),
+    ("u", 20, 2, 2): (9, 0.5823916e-04),
+}
+
+
+@dataclasses.dataclass
+class SBResult:
+    sym: str
+    size: int
+    structure: int
+    precond: int
+    iterations: int
+    residual: float
+    golden: Optional[Tuple[int, float]]
+    iterations_match: Optional[bool]
+    residual_rel_err: Optional[float]
+    time_s: float
+    nnz: int
+
+    @property
+    def validated(self) -> Optional[bool]:
+        if self.golden is None:
+            return None
+        return bool(self.iterations_match) and self.residual_rel_err <= 0.05
+
+
+def build_case(sym: str, size: int, structure: int, precond: int):
+    """Returns (matvec, psolve, n, nnz) as jit-compatible closures."""
+    is_sym = sym == "s"
+    if structure == 1:
+        system, Lcsr, Ucsr = gen.regular_parts(
+            size, sym=is_sym, bjacobi=(precond == 3)
+        )
+    elif structure == 2:
+        if precond == 3:
+            raise ValueError("block-Jacobi is structure-1 only (main_symm.f:228)")
+        system = gen.crs_system(size, sym=is_sym)
+        Lcsr, Ucsr = system["L"], system["U"]
+    else:
+        raise ValueError(structure)
+
+    indptr, indices, data, shape = system["A"]
+    n = shape[0]
+    from lilac_tpu.formats.convert import csr_device
+    from lilac_tpu.kernels.xla import csr_spmv
+
+    A = csr_device(indptr, indices, data, shape, dtype=np.float64)
+
+    def matvec(x):
+        return csr_spmv(A, x)
+
+    psolve = None
+    if precond in (2, 3):
+        dinv = jnp.asarray(1.0 / system["diag"])
+        Ls = tri.LevelSweep.build(*Lcsr, n)
+        Us = tri.LevelSweep.build(*Ucsr, n)
+        psolve = tri.make_ilu_d(dinv, Ls, Us)
+    elif precond == 1:
+        dinv = jnp.asarray(1.0 / system["diag"])
+        psolve = lambda x: dinv * x  # noqa: E731  (pointwise Jacobi)
+    return matvec, psolve, n, len(indices)
+
+
+def run_case(
+    sym: str, size: int, structure: int, precond: int, *, maxit=MAXIT, rtol=RTOL
+) -> SBResult:
+    matvec, psolve, n, nnz = build_case(sym, size, structure, precond)
+    b = jnp.ones(n, jnp.float64)
+
+    t0 = time.perf_counter()
+    if sym == "s":
+        _, hist, _ = jax.jit(
+            lambda b: sb_iter.sb_cg(matvec, b, maxit=maxit, rtol=rtol, psolve=psolve)
+        )(b)
+    else:
+        _, hist = jax.jit(
+            lambda b: sb_iter.sb_gmres(
+                matvec, b, restart=maxit, maxit=maxit, tol=rtol, psolve=psolve
+            )
+        )(b)
+    hist = np.asarray(hist, dtype=np.float64)
+    t = time.perf_counter() - t0
+
+    # Validate extraction rule (Validate:37-47): last history entry > 1e-12
+    nz = np.nonzero(hist > 1e-12)[0]
+    if len(nz) == 0:
+        iterations, residual = 0, 0.0
+    else:
+        iterations, residual = int(nz[-1]) + 1, float(hist[nz[-1]])
+
+    golden = GOLDEN.get((sym, size, structure, precond))
+    it_match = rel = None
+    if golden is not None:
+        it_match = iterations == golden[0]
+        rel = abs(residual - golden[1]) / golden[1]
+    return SBResult(
+        sym=sym,
+        size=size,
+        structure=structure,
+        precond=precond,
+        iterations=iterations,
+        residual=residual,
+        golden=golden,
+        iterations_match=it_match,
+        residual_rel_err=rel,
+        time_s=t,
+        nnz=nnz,
+    )
+
+
+def validate(sizes=(10, 20), verbose=True):
+    """Run the full golden suite (the reference's `Validate` script)."""
+    results = []
+    for sym in ("s", "u"):
+        for structure in (1, 2):
+            precs = (0, 2, 3) if structure == 1 else (0, 2)
+            for size in sizes:
+                for prec in precs:
+                    r = run_case(sym, size, structure, prec)
+                    results.append(r)
+                    if verbose:
+                        ok = {True: "ok", False: "FAIL", None: "----"}[r.validated]
+                        print(
+                            f"{sym} {size:3d} {structure} {prec}  it={r.iterations:3d}"
+                            f" res={r.residual:.7e}  [{ok}]"
+                        )
+    return results
