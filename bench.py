@@ -22,12 +22,13 @@ def main():
     t_start = time.time()
     class_name = os.environ.get("LILAC_BENCH_CLASS", "C")
     dtype = os.environ.get("LILAC_BENCH_DTYPE", "df64")
+    kernel = os.environ.get("LILAC_BENCH_KERNEL", "factored")
 
     import jax  # noqa: F401  (platform from env: real TPU under the driver)
 
     from lilac_tpu.workloads import npb_cg
 
-    res = npb_cg.run(class_name, dtype=dtype)
+    res = npb_cg.run(class_name, dtype=dtype, kernel=kernel)
 
     baseline_s = {
         # reference best harnessed backend per class (cgo_data.csv)

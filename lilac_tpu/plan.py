@@ -139,3 +139,42 @@ class SpmvPlan:
 
     def __call__(self, x):
         return self.matvec(x)
+
+
+class FactoredNPBPlan:
+    """Plan for the factored NPB operator (kernels/factored.py): same
+    interface as SpmvPlan, built from the class name instead of CSR."""
+
+    def __init__(self, class_name: str, *, dtype: str = "f64"):
+        from lilac_tpu.generate.npb import CLASSES
+        from lilac_tpu.kernels import factored as _f
+
+        cls = CLASSES[class_name.upper()]
+        self.shape = (cls.na, cls.na)
+        self.dtype = dtype
+        self.kernel = "xla_factored_df" if dtype == "df64" else "xla_factored"
+        self.A, self.nnz = _f.build_factored(class_name, dtype=dtype)
+
+    def matvec_with(self, A, x):
+        from lilac_tpu.kernels import factored as _f
+
+        if self.dtype == "df64":
+            return _f.factored_spmv_df(A, x)
+        return _f.factored_spmv(A, x)
+
+    def matvec(self, x):
+        return self.matvec_with(self.A, x)
+
+    def vec_in(self, x):
+        if self.dtype == "df64":
+            return df.from_f64(np.asarray(x))
+        jt = {"f32": jnp.float32, "f64": jnp.float64}[self.dtype]
+        return jnp.asarray(np.asarray(x), dtype=jt)
+
+    def vec_out(self, y):
+        if self.dtype == "df64":
+            return df.to_f64(y)
+        return np.asarray(y, dtype=np.float64)
+
+    def __call__(self, x):
+        return self.matvec(x)

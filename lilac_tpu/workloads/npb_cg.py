@@ -51,35 +51,58 @@ def run(
     niter: Optional[int] = None,
     plan: Optional[SpmvPlan] = None,
     verbose: bool = False,
+    steps_per_dispatch: int = 1,
 ) -> NPBCGResult:
     cls = CLASSES[class_name.upper()]
     n_it = niter if niter is not None else cls.niter
 
     if plan is None:
-        indptr, indices, data, _ = make_cg_matrix(class_name)
-        plan = SpmvPlan(indptr, indices, data, (cls.na, cls.na), dtype=dtype)
+        if kernel == "factored":
+            from lilac_tpu.plan import FactoredNPBPlan
+
+            plan = FactoredNPBPlan(class_name, dtype=dtype)
+        else:
+            indptr, indices, data, _ = make_cg_matrix(class_name)
+            plan = SpmvPlan(
+                indptr, indices, data, (cls.na, cls.na), dtype=dtype, kernel=kernel
+            )
     alg = get_algebra(dtype)
 
-    def full_run(A, x0):
-        return npb_power_method(plan.matvec_with, alg, A, x0, cls.shift, n_it)
+    # Dispatch in chunks of outer power iterations rather than one giant
+    # program: a multi-minute single execution can exceed the TPU runtime's
+    # watchdog (observed as worker crashes on classes B/C), and chunking
+    # costs only ~ms of launch overhead per chunk. Each chunk is still a
+    # fully fused scan(fori_loop) XLA program.
+    chunk = max(1, min(steps_per_dispatch, n_it))
 
-    runner = jax.jit(full_run)
+    @jax.jit
+    def run_chunk(A, x):
+        return npb_power_method(plan.matvec_with, alg, A, x, cls.shift, chunk)
 
     x0 = plan.vec_in(np.ones(cls.na, dtype=np.float64))
 
-    # untimed warm-up iteration (cg.f:233-272) doubles as compile warm-up.
-    # Timing forces a host readback of the scalar history: under the axon
-    # TPU tunnel block_until_ready can return before execution completes,
-    # so device->host transfer is the only trustworthy completion fence.
-    zetas, rnorms, xf = runner(plan.A, x0)
-    _scalars_to_f64(zetas, dtype)
+    def full_run(x):
+        zs, rs = [], []
+        x_cur = x
+        done = 0
+        while done < n_it:
+            zetas, rnorms, x_cur = run_chunk(plan.A, x_cur)
+            # host readback fences the chunk (block_until_ready can return
+            # early under the axon tunnel; D2H transfer cannot)
+            zs.append(_scalars_to_f64(zetas, dtype))
+            rs.append(_scalars_to_f64(rnorms, dtype))
+            done += chunk
+        return np.concatenate(zs)[:n_it], np.concatenate(rs)[:n_it], x_cur
+
+    # untimed warm-up iteration (cg.f:233-272) doubles as compile warm-up
+    _ = run_chunk(plan.A, x0)
+    _scalars_to_f64(_[0], dtype)
 
     t0 = time.perf_counter()
-    zetas, rnorms, xf = runner(plan.A, x0)
-    zeta_hist = _scalars_to_f64(zetas, dtype)
+    zeta_hist, rnorm_hist_arr, xf = full_run(x0)
     t = time.perf_counter() - t0
 
-    rnorm_hist = _scalars_to_f64(rnorms, dtype)
+    rnorm_hist = rnorm_hist_arr
     zeta = float(zeta_hist[-1])
     rel_err = abs(zeta - cls.zeta_verify) / cls.zeta_verify
     verified = rel_err <= 1e-10

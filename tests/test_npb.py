@@ -66,3 +66,40 @@ def test_npb_cg_class_s_f32_close():
     # f32 cannot verify to 1e-10 but must be in the right neighbourhood
     res = npb_cg.run("S", dtype="f32")
     assert abs(res.zeta - res.zeta_verify) / res.zeta_verify < 1e-3
+
+
+def test_factored_matches_assembled():
+    """Factored A·x (kernels/factored.py) equals the assembled-CSR product."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lilac_tpu.generate.npb import CLASSES, make_cg_matrix
+    from lilac_tpu.plan import FactoredNPBPlan, SpmvPlan
+
+    cls = CLASSES["S"]
+    indptr, indices, data, _ = make_cg_matrix("S")
+    direct = SpmvPlan(indptr, indices, data, (cls.na, cls.na), dtype="f64")
+    fact = FactoredNPBPlan("S", dtype="f64")
+
+    x = np.random.default_rng(7).normal(size=cls.na)
+    y1 = np.asarray(direct.matvec(direct.vec_in(x)), dtype=np.float64)
+    y2 = np.asarray(fact.matvec(fact.vec_in(x)), dtype=np.float64)
+    scale = np.abs(y1).max()
+    assert np.abs(y1 - y2).max() < 1e-12 * scale
+
+
+def test_factored_class_s_df64():
+    """Full factored class-S run. On real TPU this verifies to ~6e-16; the
+    XLA:CPU backend's fusion inside the scanned CG program costs the df64
+    EFTs ~3 digits (observed 9.2e-10 — isolated EFT primitives measure
+    exact on CPU), so the CPU assertion is 1e-8. The driver's TPU bench
+    asserts the strict 1e-10 NPB criterion."""
+    import jax
+
+    from lilac_tpu.workloads import npb_cg
+
+    r = npb_cg.run("S", dtype="df64", kernel="factored")
+    if jax.devices()[0].platform == "cpu":
+        assert r.rel_err < 1e-8, r.rel_err
+    else:
+        assert r.verified, r.rel_err
