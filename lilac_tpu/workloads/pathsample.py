@@ -1,0 +1,366 @@
+"""PATHSAMPLE committor (pfold) workload — kinetic analysis of an energy
+landscape Markov chain (wales/PATHSAMPLE).
+
+Reproduces the benchmark path of the reference
+(/root/reference/wales/PATHSAMPLE/source/Pfold.f90:20-232):
+
+1. read the stationary-point database (min.data / ts.data / min.A / min.B,
+   setup.f:1241-1427) and the `pathdata` keyword file;
+2. harmonic-TST log rate constants per transition state
+   (setup.f:1334-1345, canonical ensemble):
+   k± = log(h_min± / (2π h_ts)) + (fvib_min± − fvib_ts)/2 − (E_ts − E_min±)/T
+3. connectivity census with NCONNMIN pruning (Pfold.f90:38-66) and dead-TS
+   filtering (checkTS.f90);
+4. MAKED2 branching-probability matrix with A (direction AB) or B (BA)
+   minima as sinks, multi-TS pairs summed and capped at 1
+   (Pfold.f90:641-743);
+5. BFS from the sink set; minima in disjoint graph components dropped
+   (Pfold.f90:115-180);
+6. NPFOLD Jacobi committor sweeps q ← D·q with sink rows held fixed —
+   the reference's own SPMV skips empty rows (spmv.f90:14-21), which is
+   what pins the sinks at their initial values. The harnessed call at
+   Pfold.f90:221 passes matrix and vector swapped (SURVEY §3.5); we
+   implement the intended mathematics.
+
+The hot loop runs on device through the framework's SpMV plans; the
+LJ38 min.data/ts.data blobs are stripped from the reference checkout, so
+tests use a synthetic landscape verified against the dense committor
+solution (the fixed point of the sweep).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MinDatabase:
+    emin: np.ndarray  # [nmin] energies
+    fvib: np.ndarray  # [nmin] log product of vibrational frequencies
+    horder: np.ndarray  # [nmin] point-group orders
+    ets: np.ndarray  # [nts]
+    fvibts: np.ndarray
+    hordts: np.ndarray
+    plus: np.ndarray  # [nts] 0-based minimum indices
+    minus: np.ndarray
+    a_set: np.ndarray  # 0-based indices of A minima
+    b_set: np.ndarray
+
+    @property
+    def nmin(self) -> int:
+        return len(self.emin)
+
+    @property
+    def nts(self) -> int:
+        return len(self.ets)
+
+
+# ---------------------------------------------------------------------------
+# file formats (setup.f:1241-1307; min.A/min.B per setup.f:1199-1233)
+# ---------------------------------------------------------------------------
+
+
+def read_min_data(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """min.data rows: energy, fvib, horder, itx, ity, itz."""
+    raw = np.loadtxt(path, usecols=(0, 1, 2), ndmin=2)
+    return raw[:, 0], raw[:, 1], raw[:, 2].astype(np.int64)
+
+
+def read_ts_data(path: str):
+    """ts.data rows: energy, fvib, horder, plus, minus, itx, ity, itz."""
+    raw = np.loadtxt(path, usecols=(0, 1, 2, 3, 4), ndmin=2)
+    return (
+        raw[:, 0],
+        raw[:, 1],
+        raw[:, 2].astype(np.int64),
+        raw[:, 3].astype(np.int64) - 1,
+        raw[:, 4].astype(np.int64) - 1,
+    )
+
+
+def read_min_set(path: str) -> np.ndarray:
+    """min.A / min.B: first line = count, then 1-based indices."""
+    toks = open(path).read().split()
+    n = int(toks[0])
+    return np.asarray([int(t) for t in toks[1 : 1 + n]], dtype=np.int64) - 1
+
+
+def read_pathdata(path: str) -> dict:
+    """Keyword file (pathdata); returns the keys the pfold path consumes."""
+    cfg = dict(nconnmin=0, temperature=1.0, direction="AB", npfold=0, omega=1.0)
+    for line in open(path):
+        line = line.strip()
+        if not line or line.startswith("!"):
+            continue
+        toks = line.split()
+        key = toks[0].upper()
+        if key == "NCONNMIN":
+            cfg["nconnmin"] = int(toks[1])
+        elif key == "TEMPERATURE":
+            cfg["temperature"] = float(toks[1].replace("D", "E").replace("d", "e"))
+        elif key == "DIRECTION":
+            cfg["direction"] = toks[1].upper()
+        elif key == "PFOLD":
+            cfg["npfold"] = int(toks[1])
+            if len(toks) > 3:
+                cfg["omega"] = float(toks[3])
+    return cfg
+
+
+def load_database(dirpath: str) -> MinDatabase:
+    import os
+
+    emin, fvib, horder = read_min_data(os.path.join(dirpath, "min.data"))
+    ets, fvibts, hts, plus, minus = read_ts_data(os.path.join(dirpath, "ts.data"))
+    return MinDatabase(
+        emin, fvib, horder, ets, fvibts, hts, plus, minus,
+        read_min_set(os.path.join(dirpath, "min.A")),
+        read_min_set(os.path.join(dirpath, "min.B")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rates + branching matrix
+# ---------------------------------------------------------------------------
+
+
+def log_rates(db: MinDatabase, temperature: float):
+    """Canonical-ensemble harmonic TST log rates (setup.f:1334-1345)."""
+    two_pi = 2.0 * np.pi
+    kplus = (
+        np.log(db.horder[db.plus] / (two_pi * db.hordts))
+        + (db.fvib[db.plus] - db.fvibts) / 2.0
+        - (db.ets - db.emin[db.plus]) / temperature
+    )
+    kminus = (
+        np.log(db.horder[db.minus] / (two_pi * db.hordts))
+        + (db.fvib[db.minus] - db.fvibts) / 2.0
+        - (db.ets - db.emin[db.minus]) / temperature
+    )
+    deg = db.plus == db.minus
+    kplus = np.where(deg, kplus + np.log(2.0), kplus)
+    kminus = np.where(deg, kminus + np.log(2.0), kminus)
+    return kplus, kminus
+
+
+def connectivity_census(db: MinDatabase, nconnmin: int):
+    """Iterated LNCONN pruning (Pfold.f90:38-66). Returns LNCONN and the
+    'connected' mask after fixpoint."""
+    connected = np.ones(db.nmin, dtype=bool)
+    nondegenerate = db.plus != db.minus
+    while True:
+        lnconn = np.zeros(db.nmin, dtype=np.int64)
+        live = nondegenerate  # CHECKTS with huge nconn: only degenerate dies
+        np.add.at(lnconn, db.plus[live], connected[db.minus[live]].astype(np.int64))
+        np.add.at(lnconn, db.minus[live], connected[db.plus[live]].astype(np.int64))
+        new_connected = lnconn > nconnmin
+        if (new_connected == connected).all():
+            return lnconn, connected
+        connected = new_connected
+
+
+def branching_matrix(
+    db: MinDatabase,
+    *,
+    temperature: float,
+    direction: str = "AB",
+    nconnmin: int = 0,
+):
+    """MAKED2 (Pfold.f90:641-743) + BFS pruning. Returns (indptr, indices,
+    data, has_row) — canonical 0-based CSR of the branching probabilities
+    D[m, j] = P(m -> j), with empty rows for sinks/pruned minima."""
+    n = db.nmin
+    kplus, kminus = log_rates(db, temperature)
+    lnconn, _ = connectivity_census(db, nconnmin)
+    # deadts (checkTS.f90 with default thresholds): degenerate or
+    # under-connected endpoints
+    dead = (db.plus == db.minus) | (lnconn[db.plus] <= nconnmin) | (
+        lnconn[db.minus] <= nconnmin
+    )
+    live = ~dead
+
+    lksum = np.zeros(n)
+    np.add.at(lksum, db.plus[live], np.exp(kplus[live]))
+    np.add.at(lksum, db.minus[live], np.exp(kminus[live]))
+    with np.errstate(divide="ignore"):
+        lksum = np.where(lksum > 0, np.log(lksum), 0.0)
+
+    is_a = np.zeros(n, dtype=bool)
+    is_a[db.a_set] = True
+    is_b = np.zeros(n, dtype=bool)
+    is_b[db.b_set] = True
+    sink = is_a if direction == "AB" else is_b
+    blocked = is_b if direction == "AB" else is_a  # no transitions INTO these
+
+    # branching contributions: from PLUS->MINUS with exp(kplus - lksum[plus])
+    # and MINUS->PLUS with exp(kminus - lksum[minus]); rows for sinks and
+    # under-connected minima are dropped (Pfold.f90:676-698)
+    rows, cols, vals = [], [], []
+    for src, dst, k in (
+        (db.plus, db.minus, kplus),
+        (db.minus, db.plus, kminus),
+    ):
+        ok = live & (lnconn[src] > nconnmin) & ~sink[src] & ~blocked[dst]
+        rows.append(src[ok])
+        cols.append(dst[ok])
+        vals.append(np.exp(k[ok] - lksum[src[ok]]))
+    row = np.concatenate(rows)
+    col = np.concatenate(cols)
+    val = np.concatenate(vals)
+
+    from lilac_tpu.formats.convert import coo_to_csr_arrays
+
+    indptr, indices, data = coo_to_csr_arrays(row, col, val, (n, n))
+    # multi-TS pairs were summed by coo_to_csr_arrays; apply the cap
+    # (min(sum,1) == the reference's running cap for positive terms)
+    data = np.minimum(data, 1.0)
+
+    # BFS from the sink set over the branching graph; unreachable rows are
+    # dropped (Pfold.f90:115-180)
+    dist = np.full(n, np.iinfo(np.int64).max)
+    dist[np.nonzero(sink)[0]] = 0
+    frontier = np.nonzero(sink)[0]
+    # reverse reachability: m reaches the sink set through its OUT edges, so
+    # walk the transpose graph from the sinks
+    tr_ptr, tr_idx, _ = coo_to_csr_arrays(col, row, val, (n, n))
+    d = 0
+    while frontier.size:
+        d += 1
+        nbrs = np.concatenate(
+            [tr_idx[tr_ptr[f] : tr_ptr[f + 1]] for f in frontier]
+        ) if frontier.size else np.empty(0, np.int64)
+        nbrs = np.unique(nbrs)
+        new = nbrs[dist[nbrs] > d]
+        dist[new] = d
+        frontier = new
+    unreachable = dist == np.iinfo(np.int64).max
+    if unreachable.any():
+        keep = ~unreachable[np.repeat(np.arange(n), np.diff(indptr))]
+        rows2 = np.repeat(np.arange(n), np.diff(indptr))[keep]
+        indptr, indices, data = coo_to_csr_arrays(
+            rows2, indices[keep], data[keep], (n, n)
+        )
+    has_row = np.diff(indptr) > 0
+    return indptr, indices, data, has_row, sink
+
+
+@dataclasses.dataclass
+class PfoldResult:
+    committor: np.ndarray
+    npfold: int
+    nmin: int
+    nnz: int
+    time_s: float
+    residual: float  # ||q - Dq|| over live rows at the end
+    detailed_balance: Optional[float] = None
+
+
+def pfold(
+    db: MinDatabase,
+    *,
+    temperature: float,
+    direction: str = "AB",
+    npfold: int = 10000,
+    nconnmin: int = 0,
+    dtype: str = "f64",
+    q0: Optional[np.ndarray] = None,
+) -> PfoldResult:
+    """NPFOLD Jacobi committor sweeps on device (Pfold.f90:213-229)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lilac_tpu.plan import SpmvPlan
+
+    indptr, indices, data, has_row, sink = branching_matrix(
+        db, temperature=temperature, direction=direction, nconnmin=nconnmin
+    )
+    n = db.nmin
+    plan = SpmvPlan(indptr, indices, data, (n, n), dtype=dtype)
+
+    if q0 is None:
+        q0 = np.zeros(n)
+        q0[np.nonzero(sink)[0]] = 1.0  # setup.f:1417-1424
+    qd = plan.vec_in(q0)
+    mask = jnp.asarray(has_row)
+
+    def sweep(q, _):
+        newq = plan.matvec_with(plan.A, q)
+        q = jnp.where(mask, newq, q)  # spmv.f90:15 skips empty rows
+        return q, None
+
+    @jax.jit
+    def run(q):
+        q, _ = jax.lax.scan(sweep, q, None, length=npfold)
+        return q
+
+    _ = np.asarray(run(qd))  # compile warm-up
+    t0 = time.perf_counter()
+    q = run(qd)
+    q_host = plan.vec_out(q)
+    t = time.perf_counter() - t0
+
+    resid = plan.vec_out(plan.matvec_with(plan.A, q)) - q_host
+    resid = float(np.linalg.norm(resid[has_row]))
+    return PfoldResult(
+        committor=q_host,
+        npfold=npfold,
+        nmin=n,
+        nnz=len(indices),
+        time_s=t,
+        residual=resid,
+    )
+
+
+# ---------------------------------------------------------------------------
+# synthetic landscape (tests; LJ38 min.data/ts.data blobs are stripped)
+# ---------------------------------------------------------------------------
+
+
+def synthetic_landscape(
+    nmin: int = 500, nts: int = 2000, na: int = 5, nb: int = 20, seed: int = 0
+) -> MinDatabase:
+    """Random connected stationary-point database with LJ38-like scales."""
+    rng = np.random.default_rng(seed)
+    emin = rng.normal(-170.0, 1.0, nmin)
+    fvib = rng.normal(300.0, 5.0, nmin)
+    horder = rng.integers(1, 4, nmin).astype(np.int64)
+    # spanning tree + random extra edges => connected
+    perm = rng.permutation(nmin)
+    tree_child = perm[1:]
+    tree_parent = perm[np.asarray([rng.integers(0, i + 1) for i in range(nmin - 1)])]
+    extra = rng.integers(0, nmin, size=(max(nts - (nmin - 1), 0), 2))
+    extra = extra[extra[:, 0] != extra[:, 1]]
+    plus = np.concatenate([tree_child, extra[:, 0]])
+    minus = np.concatenate([tree_parent, extra[:, 1]])
+    m = len(plus)
+    barrier = rng.uniform(0.5, 3.0, m)
+    ets = np.maximum(emin[plus], emin[minus]) + barrier
+    fvibts = rng.normal(295.0, 5.0, m)
+    hts = np.ones(m, dtype=np.int64)
+    a_set = np.arange(na)
+    b_set = np.arange(na, na + nb)
+    return MinDatabase(emin, fvib, horder, ets, fvibts, hts, plus, minus, a_set, b_set)
+
+
+def dense_committor(db: MinDatabase, *, temperature: float, direction="AB",
+                    nconnmin: int = 0) -> np.ndarray:
+    """Reference solution: fixed point q = D q with sinks pinned (host)."""
+    indptr, indices, data, has_row, sink = branching_matrix(
+        db, temperature=temperature, direction=direction, nconnmin=nconnmin
+    )
+    n = db.nmin
+    D = np.zeros((n, n))
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    D[rows, indices] = data
+    # solve (I - D) q = 0 with pinned rows: rows without entries keep q0
+    q0 = np.zeros(n)
+    q0[np.nonzero(sink)[0]] = 1.0
+    A = np.eye(n) - D
+    A[~has_row, :] = 0.0
+    A[~has_row, ~has_row] = 1.0
+    b = np.where(has_row, 0.0, q0)
+    return np.linalg.solve(A, b)

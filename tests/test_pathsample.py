@@ -1,0 +1,91 @@
+"""PATHSAMPLE pfold workload tests (synthetic landscape; the reference's
+LJ38 min.data/ts.data blobs are stripped, .MISSING_LARGE_BLOBS:10-12)."""
+
+import numpy as np
+import pytest
+
+from lilac_tpu.workloads import pathsample as ps
+
+
+@pytest.fixture(scope="module")
+def db():
+    return ps.synthetic_landscape(nmin=300, nts=1200, seed=3)
+
+
+def test_branching_matrix_is_stochastic(db):
+    indptr, indices, data, has_row, sink = ps.branching_matrix(
+        db, temperature=0.05, direction="AB"
+    )
+    n = db.nmin
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    rowsum = np.zeros(n)
+    np.add.at(rowsum, rows, data)
+    # rows out of non-sink minima are (sub)stochastic: sum <= 1 + eps,
+    # and = 1 where no transitions were dropped (blocked B entries)
+    assert (data > 0).all()
+    assert rowsum[has_row].max() <= 1.0 + 1e-12
+    assert not has_row[np.nonzero(sink)[0]].any()  # sinks have no escape
+
+
+@pytest.mark.parametrize("direction", ["AB", "BA"])
+def test_committor_matches_dense_solution(db, direction):
+    # at a mixing temperature the Jacobi sweeps converge; at low T the
+    # relaxation time is exp(barrier/T) and NO sweep count converges — the
+    # reference's fixed 10000 sweeps doesn't claim convergence either
+    ref = ps.dense_committor(db, temperature=1.0, direction=direction)
+    r = ps.pfold(db, temperature=1.0, direction=direction, npfold=4000)
+    err = np.abs(r.committor - ref).max()
+    # 4000 sweeps of a slowly-contracting chain: iteration-limited accuracy
+    assert err < 1e-3, err
+    assert 0.0 <= r.committor.min() and r.committor.max() <= 1.0 + 1e-12
+
+
+def test_device_sweeps_match_host_exactly(db):
+    """The device Jacobi iteration is the reference semantics: q <- D q
+    with empty rows skipped (spmv.f90:14-21), any sweep count."""
+    indptr, indices, data, has_row, sink = ps.branching_matrix(
+        db, temperature=0.05, direction="AB"
+    )
+    n = db.nmin
+    q = np.zeros(n)
+    q[np.nonzero(sink)[0]] = 1.0
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    for _ in range(137):
+        y = np.zeros(n)
+        np.add.at(y, rows, data * q[indices])
+        q = np.where(has_row, y, q)
+    r = ps.pfold(db, temperature=0.05, direction="AB", npfold=137)
+    np.testing.assert_allclose(r.committor, q, rtol=1e-12, atol=1e-13)
+
+
+def test_committor_boundary_values(db):
+    r = ps.pfold(db, temperature=0.05, direction="AB", npfold=2000)
+    np.testing.assert_allclose(r.committor[db.a_set], 1.0)
+    # B minima keep their initial 0 (their rows exist but entries into B
+    # were dropped from others'; their own value converges toward the
+    # chain's value which never feeds back)
+    assert r.committor[db.b_set].min() >= 0.0
+
+
+def test_pathdata_parser(tmp_path):
+    p = tmp_path / "pathdata"
+    p.write_text(
+        "NATOMS 38\nSEED 1\n\nCYCLES 0\nNCONNMIN 0\n"
+        "PFOLD 10000 1 1.0\nTEMPERATURE 0.01\nDIRECTION BA\n"
+    )
+    cfg = ps.read_pathdata(str(p))
+    assert cfg["npfold"] == 10000
+    assert cfg["temperature"] == 0.01
+    assert cfg["direction"] == "BA"
+    assert cfg["nconnmin"] == 0
+
+
+def test_min_data_roundtrip(tmp_path):
+    mind = tmp_path / "min.data"
+    mind.write_text("-173.9 301.2 2 1 0 0\n-172.1 299.0 1 0 1 0\n")
+    e, f, h = ps.read_min_data(str(mind))
+    assert e.tolist() == [-173.9, -172.1]
+    assert h.tolist() == [2, 1]
+    seta = tmp_path / "min.A"
+    seta.write_text("2\n1 2\n")
+    assert ps.read_min_set(str(seta)).tolist() == [0, 1]
