@@ -251,7 +251,18 @@ def generate_crs(
     rng = DLaran()
     splits = make_blocks(n, unbalance, rng)
     rng = DLaran()  # generate_crs_matrix calls init_rand again (gen_crs.f:62)
-    rows, cols, vals = fill_matrix(splits, n, rng, sym=sym)
+    try:  # C fast path (lilac_tpu/native): exact same DLARAN stream
+        from lilac_tpu import native
+
+        r, c, v, diag, state = native.sb_fill_matrix(
+            np.asarray(splits, dtype=np.int64), n, sym, rng.x
+        )
+        rng.x = state
+        rows = np.concatenate([np.arange(1, n + 1), r])
+        cols = np.concatenate([np.arange(1, n + 1), c])
+        vals = np.concatenate([diag, v])
+    except Exception:
+        rows, cols, vals = fill_matrix(splits, n, rng, sym=sym)
 
     # assemble CRS (no duplicates by construction), columns sorted per row
     from lilac_tpu.formats.convert import coo_to_csr_arrays

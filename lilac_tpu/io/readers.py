@@ -31,25 +31,40 @@ def read_matrix_market(path: str):
         fmt, field, symm = parts[2], parts[3], parts[4]
         if fmt != "coordinate":
             raise NotImplementedError("only coordinate MatrixMarket supported")
+        skip = 1
         line = f.readline()
         while line.startswith("%"):
             line = f.readline()
+            skip += 1
         rows, cols, nnz = map(int, line.split())
-        data = np.loadtxt(f, ndmin=2) if nnz else np.zeros((0, 3))
-    if data.shape[0] != nnz:
-        raise ValueError(f"{path}: expected {nnz} entries, got {data.shape[0]}")
-    r = data[:, 0].astype(np.int64) - 1
-    c = data[:, 1].astype(np.int64) - 1
-    if field == "pattern":
-        v = np.ones(len(r), dtype=np.float64)
-    else:
-        v = data[:, 2].astype(np.float64)
+        skip += 1
+        try:  # native C parser (10-30x faster than loadtxt on big files)
+            from lilac_tpu import native
+
+            r, c, v = native.mm_parse_body(path, skip, nnz, field == "pattern")
+            r = r - 1
+            c0 = c - 1
+            data = None
+        except Exception:
+            data = np.loadtxt(f, ndmin=2) if nnz else np.zeros((0, 3))
+    if data is not None:
+        if data.shape[0] != nnz:
+            raise ValueError(f"{path}: expected {nnz} entries, got {data.shape[0]}")
+        r = data[:, 0].astype(np.int64) - 1
+        c0 = data[:, 1].astype(np.int64) - 1
+        if field == "pattern":
+            v = np.ones(len(r), dtype=np.float64)
+        else:
+            v = data[:, 2].astype(np.float64)
+    c = c0
     if symm in ("symmetric", "skew-symmetric", "hermitian"):
         off = r != c
         sgn = -1.0 if symm == "skew-symmetric" else 1.0
-        r = np.concatenate([r, c[off]])
-        c = np.concatenate([c, data[off, 0].astype(np.int64) - 1])
-        v = np.concatenate([v, sgn * v[off]])
+        r, c, v = (
+            np.concatenate([r, c[off]]),
+            np.concatenate([c, r[off]]),
+            np.concatenate([v, sgn * v[off]]),
+        )
     indptr, indices, vals = coo_to_csr_arrays(r, c, v, (rows, cols))
     return indptr, indices, vals, (rows, cols)
 
