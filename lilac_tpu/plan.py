@@ -83,11 +83,17 @@ class SpmvPlan:
             raise ValueError(f"kernel {kernel!r} not wired into SpmvPlan yet")
 
     def _select_kernel(self) -> str:
-        """Heuristic kernel/format gate (to be replaced by the learned
-        predictor in lilac_tpu.autotune — the mkl-model.c analogue)."""
+        """Kernel/format gate: the trained lilac_tpu.autotune model when one
+        is installed (≙ the generated mkl-model.c SVC,
+        /root/reference/libspmv/mkl-model.c:152-165), else a heuristic."""
         if self.dtype == "df64":
             return "xla_ell_df"
         s = self.row_stats
+        from lilac_tpu import autotune
+
+        choice = autotune.predict(s["nrows"], s["nnz"], s["mean_row"], s["std_row"])
+        if choice is not None:
+            return choice
         # ELL wastes (max-mean)/mean padding; accept modest waste for the
         # vectorized gather-reduce shape.
         if s["max_row"] <= 4 * max(s["mean_row"], 1.0) or s["max_row"] <= 64:

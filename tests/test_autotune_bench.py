@@ -1,0 +1,74 @@
+"""Autotune selector and bench-harness tests."""
+
+import numpy as np
+
+from lilac_tpu import autotune, bench
+
+
+def test_linear_selector_train_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    # synthetic: kernel A wins for small nnz, B for large — linearly separable
+    X, y = [], []
+    for _ in range(200):
+        n = int(rng.integers(100, 1_000_000))
+        nnz = int(n * rng.integers(2, 300))
+        mean = nnz / n
+        X.append(autotune.features(n, nnz, mean, mean * rng.uniform(0, 2)))
+        y.append("xla_ell" if nnz < 1_000_000 else "xla_csr")
+    model = autotune.train(np.asarray(X), y)
+    acc = np.mean([model.predict(x) == lbl for x, lbl in zip(X, y)])
+    assert acc > 0.95, acc
+
+    p = tmp_path / "model.json"
+    model.save(str(p))
+    back = autotune.LinearSelector.load(str(p))
+    assert all(back.predict(x) == model.predict(x) for x in X[:20])
+
+
+def test_measure_times_kernels(rng):
+    from tests.conftest import random_csr
+
+    (indptr, indices, data), shape = random_csr(rng, 200, 200, 0.05)
+    t = autotune.measure(indptr, indices, data, shape, ["xla_ell", "xla_csr"], reps=2)
+    assert set(t) == {"xla_ell", "xla_csr"}
+    assert all(v > 0 for v in t.values())
+
+
+def test_plan_uses_installed_model(tmp_path, monkeypatch, rng):
+    from tests.conftest import random_csr
+
+    X = [autotune.features(100, 1000, 10, 1.0)]
+    model = autotune.train(np.asarray(X * 4), ["xla_csr"] * 4)
+    p = tmp_path / "m.json"
+    model.save(str(p))
+    monkeypatch.setenv(autotune.MODEL_ENV, str(p))
+    autotune._cached_model = None
+
+    from lilac_tpu.plan import SpmvPlan
+
+    (indptr, indices, data), shape = random_csr(rng, 64, 64, 0.1)
+    plan = SpmvPlan(indptr, indices, data, shape, dtype="f32")
+    assert plan.kernel == "xla_csr"
+    monkeypatch.delenv(autotune.MODEL_ENV)
+    autotune._cached_model = None
+
+
+def test_bench_csv_and_analysis(tmp_path):
+    rows = [
+        bench.BenchRow("tpu", "npb", "xla_ell", "S", [2.0, 2.1, 2.2]),
+        bench.BenchRow("tpu", "npb", "fast", "S", [1.0, 1.1, 1.0]),
+        bench.BenchRow("tpu", "npb", "xla_ell", "W", [4.0, 4.0, 4.0]),
+        bench.BenchRow("tpu", "npb", "fast", "W", [1.0, 1.0, 1.0]),
+    ]
+    p = tmp_path / "all.csv"
+    bench.append_rows(str(p), rows)
+    recs = bench.tidy(str(p))
+    assert len(recs) == 12
+    sp = bench.geomean_speedups(recs, "xla_ell")
+    # geomean(2/1, 4/1) = sqrt(8)
+    assert abs(sp[("tpu", "npb", "fast")] - np.sqrt(8.0)) < 1e-9
+
+
+def test_bench_run_smoke():
+    row = bench.run_bench("sparsebench", "10", runs=1, platform="cpu-test")
+    assert len(row.times) == 1 and row.times[0] > 0

@@ -86,3 +86,49 @@ def test_dist_cg_solve_spd(rng):
     x, it, rnorm = dist_cg_solve(plan, plan.vec_in(b), maxit=200, rtol=1e-10)
     x_ref = np.linalg.solve(A_dense, b)
     np.testing.assert_allclose(plan.vec_out(x), x_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_halo_spmv_matches_dense_stencil():
+    """Ring halo exchange == dense oracle on an 8-device mesh (stencil)."""
+    import numpy as np
+    import jax
+
+    from lilac_tpu.generate.stencil import seven_point_csr
+    from lilac_tpu.parallel.dist import make_mesh
+    from lilac_tpu.parallel.halo import HaloSpmvPlan, halo_matvec
+
+    indptr, indices, data, shape = seven_point_csr(8, 8, 8)
+    mesh = make_mesh(8)
+    plan = HaloSpmvPlan.build(indptr, indices, data, shape, mesh, dtype="f64")
+    # halo should be far smaller than a full gather for a stencil
+    assert plan.halo < shape[0] // 4
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=shape[0])
+    y = plan.vec_out(halo_matvec(plan, plan.vec_in(x)))
+
+    n = shape[0]
+    dense = np.zeros((n, n))
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    dense[rows, indices] = data
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_halo_spmv_random_matrix():
+    import numpy as np
+
+    from lilac_tpu.parallel.dist import make_mesh
+    from lilac_tpu.parallel.halo import HaloSpmvPlan, halo_matvec
+    from tests.conftest import random_csr
+
+    rng = np.random.default_rng(5)
+    (indptr, indices, data), shape = random_csr(rng, 96, 96, 0.08)
+    mesh = make_mesh(8)
+    plan = HaloSpmvPlan.build(indptr, indices, data, shape, mesh, dtype="f64")
+    x = rng.normal(size=96)
+    y = plan.vec_out(halo_matvec(plan, plan.vec_in(x)))
+    n = 96
+    dense = np.zeros((n, n))
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    dense[rows, indices] = data
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-12, atol=1e-12)
