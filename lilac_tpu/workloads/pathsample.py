@@ -364,3 +364,181 @@ def dense_committor(db: MinDatabase, *, temperature: float, direction="AB",
     A[~has_row, ~has_row] = 1.0
     b = np.where(has_row, 0.0, q0)
     return np.linalg.solve(A, b)
+
+
+# ---------------------------------------------------------------------------
+# NGT — graph-transformation rate calculation (NGT.f)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class NGTResult:
+    kAB: float  # NSS rate A<-B (NGT.f:520-560 semantics)
+    kBA: float
+    kSSAB: float
+    kSSBA: float
+    detailed_balance: float  # kSSAB·Z_B / (kSSBA·Z_A) — exactly 1 for TST
+    detailed_balance_nss: float  # same for kNSS ('1 if SS applies', NGT.f:937)
+    p_ba: np.ndarray  # committor sums per A minimum (P_Ba)
+    p_ab: np.ndarray  # per B minimum (P_Ab)
+    tau: np.ndarray  # renormalised waiting times over A∪B
+    committor: Optional[np.ndarray]  # seeded pfold sweep result
+    time_s: float
+
+
+def _branching_full(db: MinDatabase, temperature: float, nconnmin: int):
+    """Branching probabilities WITHOUT sinks (NGT keeps every connected
+    row and allows return to the start, NGT.f:118-129) + waiting times
+    tau = exp(-lksum) (NGT.f:95)."""
+    n = db.nmin
+    kplus, kminus = log_rates(db, temperature)
+    lnconn, _ = connectivity_census(db, nconnmin)
+    dead = (db.plus == db.minus) | (lnconn[db.plus] <= nconnmin) | (
+        lnconn[db.minus] <= nconnmin
+    )
+    live = ~dead
+    lksum = np.zeros(n)
+    np.add.at(lksum, db.plus[live], np.exp(kplus[live]))
+    np.add.at(lksum, db.minus[live], np.exp(kminus[live]))
+    with np.errstate(divide="ignore"):
+        tau = np.where(lksum > 0, 1.0 / lksum, 0.0)
+        llog = np.where(lksum > 0, np.log(lksum), 0.0)
+    P = [dict() for _ in range(n)]
+    for src, dst, k in ((db.plus, db.minus, kplus), (db.minus, db.plus, kminus)):
+        ok = live & (lnconn[src] > nconnmin)
+        for s, d_, kk in zip(src[ok], dst[ok], k[ok]):
+            P[s][d_] = min(P[s].get(d_, 0.0) + np.exp(kk - llog[s]), 1.0)
+    return P, tau, lnconn
+
+
+def _gt_remove(P, tau, keep: np.ndarray, order):
+    """Remove nodes in `order`, renormalising neighbours (NGTremovei.f90 +
+    NGTrenorm: P(u→v) += P(u→x)·P(x→v)/(1−Pxx), τ(u) += P(u→x)·τ(x)/(1−Pxx))."""
+    for x in order:
+        row = P[x]
+        pxx = row.get(x, 0.0)
+        if pxx > 0.99:
+            denom = sum(v for j, v in row.items() if j != x)
+        else:
+            denom = 1.0 - pxx
+        if denom <= 0.0:
+            raise FloatingPointError(f"NGT: 1-P_xx underflow at node {x}")
+        fac = 1.0 / denom
+        nbrs = [j for j in row if j != x]
+        for u in nbrs:
+            pux = P[u].pop(x, 0.0)
+            if pux == 0.0:
+                continue
+            tau[u] = tau[u] + pux * tau[x] * fac
+            for v in nbrs:
+                P[u][v] = P[u].get(v, 0.0) + pux * row[v] * fac
+        P[x] = {}
+    return P, tau
+
+
+def ngt(
+    db: MinDatabase,
+    *,
+    temperature: float,
+    nconnmin: int = 0,
+    direction: str = "BA",
+    npfold: int = 0,
+    dtype: str = "f64",
+) -> NGTResult:
+    """NGT rate calculation (NGT.f): GT-remove all intermediate minima,
+    read off committor sums and SS/NSS rates, optionally run the seeded
+    pfold sweep (NGT.f:968-1013) on device."""
+    t0 = time.perf_counter()
+    n = db.nmin
+    P, tau, lnconn = _branching_full(db, temperature, nconnmin)
+    tau0 = tau.copy()  # PEMKSUM (pre-GT waiting times) for the SS rates
+
+    is_ab = np.zeros(n, dtype=bool)
+    is_ab[db.a_set] = True
+    is_ab[db.b_set] = True
+    inter = [
+        j
+        for j in range(n - 1, -1, -1)
+        if not is_ab[j] and lnconn[j] > nconnmin
+    ]  # removed from the bottom up (NGTremovei.f90:12)
+    P, tau = _gt_remove(P, tau, is_ab, inter)
+
+    # equilibrium weights (setup.f:745, 782-792)
+    pfmin = -db.emin / temperature - db.fvib / 2.0 - np.log(db.horder.astype(float))
+    def logsum(ix):
+        m = pfmin[ix].max()
+        return m + np.log(np.exp(pfmin[ix] - m).sum())
+    pftotala, pftotalb = logsum(db.a_set), logsum(db.b_set)
+
+    in_b = np.zeros(n, dtype=bool)
+    in_b[db.b_set] = True
+    in_a = np.zeros(n, dtype=bool)
+    in_a[db.a_set] = True
+
+    p_ba = np.zeros(len(db.a_set))
+    kBA = kSSBA = 0.0
+    for i, a in enumerate(db.a_set):
+        commit = sum(v for j, v in P[a].items() if in_b[j])
+        p_ba[i] = commit
+        if tau[a] > 0:
+            kBA += commit * np.exp(pfmin[a] - pftotala) / tau[a]
+        if tau0[a] > 0:
+            kSSBA += commit * np.exp(pfmin[a] - pftotala) / tau0[a]
+    p_ab = np.zeros(len(db.b_set))
+    kAB = kSSAB = 0.0
+    for i, b in enumerate(db.b_set):
+        commit = sum(v for j, v in P[b].items() if in_a[j])
+        p_ab[i] = commit
+        if tau[b] > 0:
+            kAB += commit * np.exp(pfmin[b] - pftotalb) / tau[b]
+        if tau0[b] > 0:
+            kSSAB += commit * np.exp(pfmin[b] - pftotalb) / tau0[b]
+
+    # detailed-balance checks (NGT.f:936-937): the kSS ratio is an exact
+    # invariant of TST rates; the kNSS one holds only when the steady-state
+    # approximation applies (the reference prints both as soft checks)
+    ratio = kSSAB * np.exp(pftotalb - pftotala) / kSSBA if kSSBA > 0 else np.nan
+    ratio_nss = kAB * np.exp(pftotalb - pftotala) / kBA if kBA > 0 else np.nan
+
+    committor = None
+    if npfold > 0:
+        # seeded sweep: GPFOLD at A/B minima initialised from the GT
+        # committors (NGT.f:462-468, 520-526), then the standard loop
+        q0 = np.zeros(n)
+        if direction == "AB":
+            q0[db.a_set] = p_ba * 0 + 1.0  # A sinks hold 1 for PFA
+            q0[db.b_set] = p_ab
+        else:
+            q0[db.a_set] = p_ba
+            q0[db.b_set] = 1.0
+        r = pfold(
+            db,
+            temperature=temperature,
+            direction=direction,
+            npfold=npfold,
+            nconnmin=nconnmin,
+            dtype=dtype,
+            q0=q0,
+        )
+        committor = r.committor
+
+    return NGTResult(
+        kAB=kAB,
+        kBA=kBA,
+        kSSAB=kSSAB,
+        kSSBA=kSSBA,
+        detailed_balance=float(ratio),
+        detailed_balance_nss=float(ratio_nss),
+        p_ba=p_ba,
+        p_ab=p_ab,
+        tau=tau,
+        committor=committor,
+        time_s=time.perf_counter() - t0,
+    )
+
+
+def write_commit_data(path: str, committor: np.ndarray) -> None:
+    """commit.data output (NGT.f:1014-1019 / Pfold output convention)."""
+    with open(path, "w") as f:
+        for v in committor:
+            f.write(f"{v:20.10G}\n")

@@ -89,3 +89,55 @@ def test_min_data_roundtrip(tmp_path):
     seta = tmp_path / "min.A"
     seta.write_text("2\n1 2\n")
     assert ps.read_min_set(str(seta)).tolist() == [0, 1]
+
+
+def test_ngt_gt_preserves_committor_and_mfpt(db):
+    """GT renormalisation is exact: the reduced network's branching sums
+    equal dense first-passage probabilities, and renormalised waiting
+    times equal dense mean-first-passage times to A∪B."""
+    T = 0.8
+    r = ps.ngt(db, temperature=T)
+    P, tau0, _ = ps._branching_full(db, T, 0)
+    n = db.nmin
+    D = np.zeros((n, n))
+    for i, row in enumerate(P):
+        for j, v in row.items():
+            D[i, j] = v
+    ab = np.zeros(n, dtype=bool)
+    ab[db.a_set] = True
+    ab[db.b_set] = True
+    inter = ~ab
+    in_b = np.zeros(n, dtype=bool)
+    in_b[db.b_set] = True
+    # hit-B-first probability from each intermediate (A∪B absorbing)
+    PII = D[np.ix_(inter, inter)]
+    h = np.linalg.solve(np.eye(inter.sum()) - PII, D[np.ix_(inter, in_b)].sum(axis=1))
+    hfull = np.zeros(n)
+    hfull[inter] = h
+    hfull[db.b_set] = 1.0
+    for i, a in enumerate(db.a_set):
+        expect = float(D[a] @ hfull)
+        assert abs(r.p_ba[i] - expect) < 1e-10, (i, r.p_ba[i], expect)
+    # MFPT to A∪B
+    t = np.linalg.solve(np.eye(inter.sum()) - PII, tau0[inter])
+    tfull = np.zeros(n)
+    tfull[inter] = t
+    for a in db.a_set:
+        expect = tau0[a] + float(D[a] @ tfull)
+        assert abs(r.tau[a] - expect) < 1e-9 * max(1.0, expect)
+
+
+def test_ngt_detailed_balance(db):
+    """Harmonic TST rates satisfy detailed balance exactly for the kSS
+    formula (the reference prints this ratio as its soft check,
+    NGT.f:936); the kNSS ratio deviates unless the steady-state
+    approximation applies."""
+    r = ps.ngt(db, temperature=0.8)
+    assert abs(r.detailed_balance - 1.0) < 1e-10, r.detailed_balance
+    assert r.kAB > 0 and r.kBA > 0 and np.isfinite(r.detailed_balance_nss)
+
+
+def test_ngt_seeded_pfold_runs(db):
+    r = ps.ngt(db, temperature=0.8, npfold=200, direction="BA")
+    assert r.committor is not None
+    assert 0.0 <= r.committor.min() and r.committor.max() <= 1.0 + 1e-9
