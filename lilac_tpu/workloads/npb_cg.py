@@ -51,10 +51,14 @@ def run(
     niter: Optional[int] = None,
     plan: Optional[SpmvPlan] = None,
     verbose: bool = False,
-    steps_per_dispatch: int = 1,
+    steps_per_dispatch: Optional[int] = None,
 ) -> NPBCGResult:
     cls = CLASSES[class_name.upper()]
     n_it = niter if niter is not None else cls.niter
+    if steps_per_dispatch is None:
+        import os as _os
+
+        steps_per_dispatch = int(_os.environ.get("LILAC_STEPS_PER_DISPATCH", "3"))
 
     if plan is None:
         if kernel == "factored":
