@@ -33,17 +33,24 @@ from lilac_tpu.ops import dfloat as df
 
 @dataclasses.dataclass
 class FactoredNPB:
-    """Device containers for the factored operator (pytree)."""
+    """Device containers for the factored operator (pytree).
+
+    The transpose pass is BUCKET-SLICED: row degrees of Vᵀ follow a
+    Poisson-like spread (class C: mean 16, max 35), so a plain ELL pads
+    2.2x. Rows are permuted by degree into buckets, each stored at its own
+    width (the JDS idea, convert_dataset.c:160+, re-shaped for the TPU:
+    buckets keep the gather dense instead of warps)."""
 
     P: jax.Array  # [n, K0] int32 0-based positions of a_i (pad 0)
     Vv: jax.Array  # [n, K0] values of a_i (pad 0); f32/f64 or [.,2] df
-    PT: jax.Array  # [n, K1] int32: outer-product indices i touching row j
-    VTv: jax.Array  # [n, K1] a_i[j] values (pad 0)
+    PT: tuple  # per-bucket int32 [n_b, K_b] outer-product indices
+    VTv: tuple  # per-bucket values [n_b, K_b] (or [.,2] df)
+    inv_perm: jax.Array  # [n] int32: bucket-concatenated row -> original row
     s: jax.Array  # [n] outer-product weights (f32/f64 or [n,2] df)
     d0: jax.Array  # scalar diagonal shift (rcond - shift)
 
     def tree_flatten(self):
-        return (self.P, self.Vv, self.PT, self.VTv, self.s, self.d0), ()
+        return (self.P, self.Vv, self.PT, self.VTv, self.inv_perm, self.s, self.d0), ()
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
@@ -74,21 +81,42 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
         P[i, : hi - lo] = ivc[lo:hi] - 1
         Vv[i, : hi - lo] = vc[lo:hi]
 
-    # transpose ELL: for each position j, the (i, value) pairs
+    # transpose structure: for each position j, the (i, value) pairs
     rows_i = np.repeat(np.arange(n, dtype=np.int64), nzv_arr)
     pos_j = ivc - 1
     order = np.argsort(pos_j, kind="stable")
     pj, ri, vv = pos_j[order], rows_i[order], vc[order]
     counts = np.bincount(pj, minlength=n)
-    K1 = int(counts.max())
-    PT = np.zeros((n, K1), dtype=np.int64)
-    VTv = np.zeros((n, K1), dtype=np.float64)
     starts = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
-    # slot index within each row-segment
     slot = np.arange(len(pj)) - starts[pj]
-    PT[pj, slot] = ri
-    VTv[pj, slot] = vv
+
+    # degree-bucketed slicing: permute rows ascending by count, split at
+    # the smallest widths covering each quantile
+    perm = np.argsort(counts, kind="stable")  # bucket-row -> original row
+    inv_perm = np.empty(n, dtype=np.int64)
+    inv_perm[perm] = np.arange(n)
+    kmax = int(counts.max())
+    widths = sorted({w for w in (kmax // 2, int(np.percentile(counts, 90)), kmax) if w > 0})
+    buckets, lo = [], 0
+    sorted_counts = counts[perm]
+    for w in widths:
+        hi = int(np.searchsorted(sorted_counts, w, side="right"))
+        if hi > lo:
+            buckets.append((lo, hi, w))
+            lo = hi
+    if lo < n:
+        buckets.append((lo, n, kmax))
+
+    PT_parts, VT_parts = [], []
+    full_PT = np.zeros((n, kmax), dtype=np.int64)
+    full_VT = np.zeros((n, kmax), dtype=np.float64)
+    full_PT[pj, slot] = ri
+    full_VT[pj, slot] = vv
+    for lo_, hi_, w in buckets:
+        rows_b = perm[lo_:hi_]
+        PT_parts.append(full_PT[rows_b, :w])
+        VT_parts.append(full_VT[rows_b, :w])
 
     ratio = cls.rcond ** (1.0 / n)
     s = np.empty(n, dtype=np.float64)
@@ -107,8 +135,9 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
     cont = FactoredNPB(
         P=jnp.asarray(P, dtype=jnp.int32),
         Vv=to_dev(Vv),
-        PT=jnp.asarray(PT, dtype=jnp.int32),
-        VTv=to_dev(VTv),
+        PT=tuple(jnp.asarray(p, dtype=jnp.int32) for p in PT_parts),
+        VTv=tuple(to_dev(v) for v in VT_parts),
+        inv_perm=jnp.asarray(inv_perm, dtype=jnp.int32),
         s=to_dev(s),
         d0=to_dev(np.asarray(d0)),
     )
@@ -125,7 +154,8 @@ def factored_spmv(A: FactoredNPB, x: jax.Array) -> jax.Array:
     """Plain-float factored product (f32/f64)."""
     t = jnp.sum(A.Vv * x[A.P], axis=1)  # V x
     u = A.s * t
-    y = jnp.sum(A.VTv * u[A.PT], axis=1)  # Vᵀ u
+    parts = [jnp.sum(vt * u[pt], axis=1) for pt, vt in zip(A.PT, A.VTv)]
+    y = jnp.concatenate(parts)[A.inv_perm]  # Vᵀ u, un-permuted
     return y + A.d0 * x
 
 
@@ -143,11 +173,17 @@ def factored_spmv_df(A: FactoredNPB, x: df.DF) -> df.DF:
     t = df.sum_df(df.mul(Vv, xg), axis=1)
     s = df.DF(A.s[..., 0], A.s[..., 1])
     u = df.mul(s, t)
-    VTv = df.DF(A.VTv[..., 0], A.VTv[..., 1])
     us = jnp.stack([u.hi, u.lo], axis=-1)
-    g2 = us[A.PT]
-    ug = df.DF(g2[..., 0], g2[..., 1])
-    y = df.sum_df(df.mul(VTv, ug), axis=1)
+    his, los = [], []
+    for pt, vt in zip(A.PT, A.VTv):
+        VTb = df.DF(vt[..., 0], vt[..., 1])
+        g2 = us[pt]
+        yb = df.sum_df(df.mul(VTb, df.DF(g2[..., 0], g2[..., 1])), axis=1)
+        his.append(yb.hi)
+        los.append(yb.lo)
+    ys = jnp.stack([jnp.concatenate(his), jnp.concatenate(los)], axis=-1)
+    g3 = ys[A.inv_perm]
+    y = df.DF(g3[..., 0], g3[..., 1])
     d0 = df.DF(A.d0[..., 0], A.d0[..., 1])
     dx = df.mul(df.DF(jnp.broadcast_to(d0.hi, x.hi.shape),
                       jnp.broadcast_to(d0.lo, x.lo.shape)), x)

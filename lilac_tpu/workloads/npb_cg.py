@@ -91,12 +91,16 @@ def run(
         done = 0
         while done < n_it:
             zetas, rnorms, x_cur = run_chunk(plan.A, x_cur)
-            # host readback fences the chunk (block_until_ready can return
-            # early under the axon tunnel; D2H transfer cannot)
-            zs.append(_scalars_to_f64(zetas, dtype))
-            rs.append(_scalars_to_f64(rnorms, dtype))
+            # chunks chain through x_cur, so execution is already strictly
+            # sequential; keep histories as device futures and fetch once
+            # at the end (one host readback fences everything — under the
+            # axon tunnel block_until_ready can return early, D2H cannot)
+            zs.append(zetas)
+            rs.append(rnorms)
             done += chunk
-        return np.concatenate(zs)[:n_it], np.concatenate(rs)[:n_it], x_cur
+        zh = np.concatenate([_scalars_to_f64(z, dtype) for z in zs])[:n_it]
+        rh = np.concatenate([_scalars_to_f64(r, dtype) for r in rs])[:n_it]
+        return zh, rh, x_cur
 
     # untimed warm-up iteration (cg.f:233-272) doubles as compile warm-up
     _ = run_chunk(plan.A, x0)
