@@ -228,3 +228,55 @@ def dense_to_csr_arrays(dense: np.ndarray, tol: float = 0.0):
     return coo_to_csr_arrays(
         row.astype(np.int64), col.astype(np.int64), val, dense.shape
     )
+
+
+def csr_to_bucket_ell_arrays(indptr, indices, data, shape, *, quantiles=(50, 90)):
+    """Split rows into width-quantile buckets (host). Returns
+    (bucket_indices, bucket_values, inv_perm, widths) with numpy arrays."""
+    n = shape[0]
+    counts = np.diff(indptr).astype(np.int64)
+    kmax = int(counts.max()) if n else 0
+    cand = sorted(
+        {max(int(np.percentile(counts, q)), 1) for q in quantiles} | {kmax}
+    )
+    perm = np.argsort(counts, kind="stable")
+    inv_perm = np.empty(n, dtype=np.int64)
+    inv_perm[perm] = np.arange(n)
+    sorted_counts = counts[perm]
+
+    bucket_idx, bucket_val, widths = [], [], []
+    lo = 0
+    for w in cand:
+        hi = int(np.searchsorted(sorted_counts, w, side="right"))
+        if hi <= lo:
+            continue
+        rows_b = perm[lo:hi]
+        nb = len(rows_b)
+        bi = np.zeros((nb, w), dtype=np.int64)
+        bv = np.zeros((nb, w) + data.shape[1:], dtype=data.dtype)
+        for i, r in enumerate(rows_b):
+            a, b = indptr[r], indptr[r + 1]
+            bi[i, : b - a] = indices[a:b]
+            bv[i, : b - a] = data[a:b]
+        bucket_idx.append(bi)
+        bucket_val.append(bv)
+        widths.append(w)
+        lo = hi
+    return bucket_idx, bucket_val, inv_perm, tuple(widths)
+
+
+def bucket_ell_device(indptr, indices, data, shape, dtype=None, quantiles=(50, 90)):
+    from lilac_tpu.formats.sparse import BucketELL
+
+    if dtype is not None:
+        data = data.astype(dtype)
+    bi, bv, inv_perm, widths = csr_to_bucket_ell_arrays(
+        indptr, indices, data, shape, quantiles=quantiles
+    )
+    return BucketELL(
+        data=tuple(jnp.asarray(v) for v in bv),
+        indices=tuple(jnp.asarray(i, dtype=jnp.int32) for i in bi),
+        inv_perm=jnp.asarray(inv_perm, dtype=jnp.int32),
+        shape=tuple(shape),
+        widths=widths,
+    )

@@ -182,3 +182,27 @@ class BSR:
             c0 = int(self.indices[k]) * bw
             out = out.at[r0 : r0 + bh, c0 : c0 + bw].add(self.data[k])
         return out[:n, :m]
+
+
+@partial(
+    _register,
+    data_fields=("data", "indices", "inv_perm"),
+    meta_fields=("shape", "widths"),
+)
+@dataclasses.dataclass(frozen=True)
+class BucketELL:
+    """Degree-bucketed ELL: rows permuted ascending by length and split into
+    width-quantile buckets, each stored as a dense [n_b, K_b] ELL.
+
+    Beats plain ELL when row lengths are spread (Poisson/power-law): gather
+    volume drops from n·K_max to ~n·mean, and every bucket remains a dense
+    vectorised gather-reduce (the JDS idea, parboil convert_dataset.c:160+,
+    re-shaped for TPU: quantile buckets instead of warps). `inv_perm` maps
+    original row -> position in the bucket-concatenated output.
+    """
+
+    data: tuple  # per-bucket [n_b, K_b] float (or [.., 2] df)
+    indices: tuple  # per-bucket [n_b, K_b] int32
+    inv_perm: jax.Array  # [nrows] int32
+    shape: Tuple[int, int]
+    widths: Tuple[int, ...]

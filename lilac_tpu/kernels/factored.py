@@ -152,10 +152,12 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
 
 def factored_spmv(A: FactoredNPB, x: jax.Array) -> jax.Array:
     """Plain-float factored product (f32/f64)."""
-    t = jnp.sum(A.Vv * x[A.P], axis=1)  # V x
+    from lilac_tpu.kernels.xla import pair_gather
+
+    t = jnp.sum(A.Vv * pair_gather(x, A.P), axis=1)  # V x
     u = A.s * t
-    parts = [jnp.sum(vt * u[pt], axis=1) for pt, vt in zip(A.PT, A.VTv)]
-    y = jnp.concatenate(parts)[A.inv_perm]  # Vᵀ u, un-permuted
+    parts = [jnp.sum(vt * pair_gather(u, pt), axis=1) for pt, vt in zip(A.PT, A.VTv)]
+    y = pair_gather(jnp.concatenate(parts), A.inv_perm)  # Vᵀ u, un-permuted
     return y + A.d0 * x
 
 

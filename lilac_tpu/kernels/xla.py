@@ -18,6 +18,19 @@ from lilac_tpu.kernels.registry import register_kernel
 from lilac_tpu.ops import dfloat as df
 
 
+def pair_gather(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """x[idx] through XLA's slice-gather emitter.
+
+    On TPU, gathering [*, 2] ROWS runs ~4.7x faster per index than the
+    scalar lane-gather XLA emits for a flat x[idx] (measured 1.4ns vs
+    6.7ns/elem on v5e). Duplicating x into an [n, 2] table and slicing
+    component 0 buys that emitter for plain f32/f64 gathers; df64 kernels
+    pack (hi, lo) into the pair instead and get both words for free.
+    """
+    xs = jnp.stack([x, x], axis=-1)
+    return xs[idx][..., 0]
+
+
 # ---------------------------------------------------------------------------
 # CSR
 # ---------------------------------------------------------------------------
@@ -26,7 +39,7 @@ from lilac_tpu.ops import dfloat as df
 def csr_spmv(A: CSR, x: jax.Array) -> jax.Array:
     """y = A @ x via gather + sorted segment-sum (requires A.row_ids)."""
     assert A.row_ids is not None, "call A.with_row_ids() first"
-    prod = A.data * x[A.indices]
+    prod = A.data * pair_gather(x, A.indices)
     return jax.ops.segment_sum(
         prod, A.row_ids, num_segments=A.shape[0], indices_are_sorted=True
     )
@@ -69,7 +82,7 @@ register_kernel("xla_coo", coo_spmv, COO, transpose=coo_spmv_t)
 
 def ell_spmv(A: ELL, x: jax.Array) -> jax.Array:
     """y = A @ x: gather [rows, K] then reduce K. Padding is (idx 0, val 0)."""
-    gathered = x[A.indices]
+    gathered = pair_gather(x, A.indices)
     y = jnp.sum(A.data * gathered, axis=1)
     return y[: A.shape[0]]
 
@@ -139,3 +152,36 @@ def bsr_spmv(A: BSR, x: jax.Array) -> jax.Array:
 
 
 register_kernel("xla_bsr", bsr_spmv, BSR)
+
+
+# ---------------------------------------------------------------------------
+# BucketELL — degree-bucketed slicing (general irregular matrices)
+# ---------------------------------------------------------------------------
+
+from lilac_tpu.formats.sparse import BucketELL  # noqa: E402
+
+
+def bucket_ell_spmv(A: BucketELL, x: jax.Array) -> jax.Array:
+    parts = [
+        jnp.sum(v * pair_gather(x, i), axis=1)
+        for v, i in zip(A.data, A.indices)
+    ]
+    return pair_gather(jnp.concatenate(parts), A.inv_perm)
+
+
+def bucket_ell_spmv_df(A: BucketELL, x: df.DF) -> df.DF:
+    xs = jnp.stack([x.hi, x.lo], axis=-1)
+    his, los = [], []
+    for v, i in zip(A.data, A.indices):
+        a = df.DF(v[..., 0], v[..., 1])
+        g = xs[i]
+        yb = df.sum_df(df.mul(a, df.DF(g[..., 0], g[..., 1])), axis=1)
+        his.append(yb.hi)
+        los.append(yb.lo)
+    ys = jnp.stack([jnp.concatenate(his), jnp.concatenate(los)], axis=-1)
+    out = ys[A.inv_perm]
+    return df.DF(out[..., 0], out[..., 1])
+
+
+register_kernel("xla_sell", bucket_ell_spmv, BucketELL)
+register_kernel("xla_sell_df", bucket_ell_spmv_df, BucketELL, dfloat=True)

@@ -79,6 +79,14 @@ class SpmvPlan:
         elif kernel == "xla_csr":
             jt = {"f32": np.float32, "f64": np.float64}[dtype]
             self.A = convert.csr_device(indptr, indices, data, shape, dtype=jt)
+        elif kernel == "xla_sell":
+            jt = {"f32": np.float32, "f64": np.float64}[dtype]
+            self.A = convert.bucket_ell_device(indptr, indices, data, shape, dtype=jt)
+        elif kernel == "xla_sell_df":
+            hi = data.astype(np.float32)
+            lo = (data - hi.astype(np.float64)).astype(np.float32)
+            vals = np.stack([hi, lo], axis=-1)
+            self.A = convert.bucket_ell_device(indptr, indices, vals, shape)
         else:
             raise ValueError(f"kernel {kernel!r} not wired into SpmvPlan yet")
 
@@ -86,19 +94,20 @@ class SpmvPlan:
         """Kernel/format gate: the trained lilac_tpu.autotune model when one
         is installed (≙ the generated mkl-model.c SVC,
         /root/reference/libspmv/mkl-model.c:152-165), else a heuristic."""
-        if self.dtype == "df64":
-            return "xla_ell_df"
         s = self.row_stats
+        spread = s["max_row"] > 1.5 * max(s["mean_row"], 1.0) + 4
+        if self.dtype == "df64":
+            return "xla_sell_df" if spread else "xla_ell_df"
         from lilac_tpu import autotune
 
         choice = autotune.predict(s["nrows"], s["nnz"], s["mean_row"], s["std_row"])
         if choice is not None:
             return choice
-        # ELL wastes (max-mean)/mean padding; accept modest waste for the
-        # vectorized gather-reduce shape.
-        if s["max_row"] <= 4 * max(s["mean_row"], 1.0) or s["max_row"] <= 64:
-            return "xla_ell"
-        return "xla_csr"
+        # plain ELL pads every row to max_row; bucket-sliced ELL caps the
+        # waste when row lengths are spread (gathers are the cost on TPU)
+        if spread:
+            return "xla_sell"
+        return "xla_ell"
 
     # -- value conversion helpers -------------------------------------------
 
@@ -124,6 +133,10 @@ class SpmvPlan:
             return _xla.ell_spmv_df(A, x)
         if self.kernel == "xla_csr":
             return _xla.csr_spmv(A, x)
+        if self.kernel == "xla_sell":
+            return _xla.bucket_ell_spmv(A, x)
+        if self.kernel == "xla_sell_df":
+            return _xla.bucket_ell_spmv_df(A, x)
         if self.kernel == "pallas_ell":
             from lilac_tpu.kernels import pallas_ell
 

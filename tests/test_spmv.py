@@ -129,3 +129,38 @@ def test_dfloat_dot_accuracy(rng):
     y = rng.normal(size=4096)
     got = df.to_f64(df.dot(df.from_f64(x), df.from_f64(y)))
     np.testing.assert_allclose(got, np.dot(x, y), rtol=1e-12, atol=1e-12)
+
+
+def test_bucket_ell_matches_dense(rng):
+    """Degree-bucketed sliced ELL == dense product on a skewed matrix."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lilac_tpu.plan import SpmvPlan
+    from tests.conftest import random_csr
+
+    # power-law-ish row lengths: concatenate a dense block over random rows
+    (indptr, indices, data), shape = random_csr(rng, 120, 120, 0.05)
+    plan = SpmvPlan(indptr, indices, data, shape, dtype="f64", kernel="xla_sell")
+    x = rng.normal(size=shape[1])
+    y = plan.vec_out(plan.matvec(plan.vec_in(x)))
+    dense = np.zeros(shape)
+    rows = np.repeat(np.arange(shape[0]), np.diff(indptr))
+    dense[rows, indices] = data
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_bucket_ell_df_matches_dense(rng):
+    import numpy as np
+
+    from lilac_tpu.plan import SpmvPlan
+    from tests.conftest import random_csr
+
+    (indptr, indices, data), shape = random_csr(rng, 90, 90, 0.07)
+    plan = SpmvPlan(indptr, indices, data, shape, dtype="df64", kernel="xla_sell_df")
+    x = rng.normal(size=shape[1])
+    y = plan.vec_out(plan.matvec(plan.vec_in(x)))
+    dense = np.zeros(shape)
+    rows = np.repeat(np.arange(shape[0]), np.diff(indptr))
+    dense[rows, indices] = data
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-13, atol=1e-13)
