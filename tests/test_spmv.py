@@ -164,3 +164,26 @@ def test_bucket_ell_df_matches_dense(rng):
     rows = np.repeat(np.arange(shape[0]), np.diff(indptr))
     dense[rows, indices] = data
     np.testing.assert_allclose(y, dense @ x, rtol=1e-13, atol=1e-13)
+
+
+def test_spgemm_gustavson_matches_dense(rng):
+    import numpy as np
+
+    from lilac_tpu.ops import spgemm
+    from tests.conftest import random_csr
+
+    (ap, ai, av), sa = random_csr(rng, 40, 30, 0.15)
+    (bp, bi, bv), sb = random_csr(rng, 30, 50, 0.15)
+    cp, ci, cv, sc = spgemm.gustavson((ap, ai, av), (bp, bi, bv), sa, sb)
+    A = np.zeros(sa)
+    A[np.repeat(np.arange(sa[0]), np.diff(ap)), ai] = av
+    B = np.zeros(sb)
+    B[np.repeat(np.arange(sb[0]), np.diff(bp)), bi] = bv
+    C = np.zeros(sc)
+    C[np.repeat(np.arange(sc[0]), np.diff(cp)), ci] = cv
+    np.testing.assert_allclose(C, A @ B, rtol=1e-12, atol=1e-12)
+
+    cp2, ci2, cv2, _ = spgemm.masked_dense((ap, ai, av), (bp, bi, bv), sa, sb)
+    C2 = np.zeros(sc)
+    C2[np.repeat(np.arange(sc[0]), np.diff(cp2)), ci2] = cv2
+    np.testing.assert_allclose(C2, A @ B, rtol=1e-5, atol=1e-5)
