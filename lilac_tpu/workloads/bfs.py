@@ -41,9 +41,10 @@ def bfs_distances(plan: SpmvPlan, source: int) -> np.ndarray:
         def body(state):
             front, dist, i, _ = state
             nxt = plan.matvec_with(A, front)
-            front = jnp.where((nxt != 0.0) & (dist == 0.0), 1.0, 0.0)
-            dist = jnp.where(front != 0.0, i + 1.0, dist)
-            return (front, dist, i + 1.0, jnp.any(front != 0.0))
+            one = jnp.float32(1.0)
+            front = jnp.where((nxt != 0.0) & (dist == 0.0), one, jnp.float32(0.0))
+            dist = jnp.where(front != 0.0, i + one, dist)
+            return (front, dist, i + one, jnp.any(front != 0.0))
 
         front, dist, i, _ = jax.lax.while_loop(
             cond, body, (front, dist, jnp.float32(1.0), jnp.bool_(True))

@@ -1,0 +1,49 @@
+"""Graph workloads: BFS on the reference's vendored input + PageRank."""
+
+import os
+
+import numpy as np
+import pytest
+
+REF_BFS = "/root/reference/bfs/input.mtx"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BFS), reason="reference not mounted")
+def test_bfs_reference_input_matches_oracle():
+    from lilac_tpu.io.readers import read_edgelist
+    from lilac_tpu.plan import SpmvPlan
+    from lilac_tpu.workloads import bfs
+
+    indptr, indices, data, shape = read_edgelist(REF_BFS)
+    assert shape == (14, 14)
+    plan = SpmvPlan(indptr, indices, np.ones_like(data), shape, dtype="f32")
+    for src in range(14):
+        got = bfs.bfs_distances(plan, src)
+        ref = bfs.bfs_oracle(indptr, indices, data, shape, src)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_bfs_random_graph(rng):
+    from lilac_tpu.plan import SpmvPlan
+    from lilac_tpu.workloads import bfs
+    from tests.conftest import random_csr
+
+    (indptr, indices, data), shape = random_csr(rng, 80, 80, 0.04)
+    plan = SpmvPlan(indptr, indices, np.ones_like(data), shape, dtype="f32")
+    for src in (0, 17, 42):
+        got = bfs.bfs_distances(plan, src)
+        ref = bfs.bfs_oracle(indptr, indices, data, shape, src)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_pagerank_converges_to_stationary(rng):
+    from lilac_tpu.workloads import pagerank
+    from tests.conftest import random_csr
+
+    (indptr, indices, data), shape = random_csr(rng, 60, 60, 0.15)
+    data = np.abs(data) + 0.1
+    r = pagerank.run(indptr, indices, data, shape, iters=300, runs=1, dtype="f64")
+    # reference semantics: x_new = d·M_norm·x + (1-d)·mean(x); at the fixed
+    # point the step difference vanishes
+    assert r.error < 1e-10, r.error
+    assert np.all(np.isfinite(r.x))
