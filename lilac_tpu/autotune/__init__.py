@@ -164,3 +164,59 @@ def predict(nrows, nnz, mean_row, std_row) -> Optional[str]:
     if m is None:
         return None
     return m.predict(features(nrows, nnz, mean_row, std_row))
+
+
+def default_corpus(max_n: int = 200_000):
+    """Generated matrix corpus standing in for the reference's SuiteSparse
+    download set (results/cgo/all_matrices.csv — this environment has no
+    egress): stencils, random CRS at several densities, NPB-like patterns."""
+    from lilac_tpu.generate.random_crs import random_crs
+    from lilac_tpu.generate.stencil import seven_point_csr
+
+    corpus = []
+    for side in (10, 16, 24, 32, 40):
+        if side**3 <= max_n:
+            corpus.append(("stencil", seven_point_csr(side, side, side)))
+    for size, seed in ((10, 0), (20, 1), (30, 2), (40, 3)):
+        if size**3 <= max_n:
+            corpus.append((f"randcrs{size}", random_crs(size, seed=seed)))
+    # banded matrices with wide bands (ELL-friendly)
+    for n, bw in ((20_000, 9), (50_000, 17)):
+        if n <= max_n:
+            offs = np.arange(-(bw // 2), bw // 2 + 1)
+            rows = np.repeat(np.arange(n), bw)
+            cols = (rows.reshape(n, bw) + offs).clip(0, n - 1).ravel()
+            vals = np.random.default_rng(n).normal(size=n * bw)
+            from lilac_tpu.formats.convert import coo_to_csr_arrays
+
+            corpus.append((f"band{n}", coo_to_csr_arrays(rows, cols, vals, (n, n)) + ((n, n),)))
+    return corpus
+
+
+def build_default_model(
+    kernels=("xla_ell", "xla_sell", "xla_csr"), path: str = DEFAULT_MODEL_PATH,
+    reps: int = 20, verbose: bool = True,
+):
+    """Measure the corpus on the current device, train, and install the
+    model — the whole results/cgo pipeline (run_all -> suite.py -> shipped
+    mkl-model.c) in one call."""
+    X, y = [], []
+    for name, (indptr, indices, data, shape) in default_corpus():
+        times = measure(indptr, indices, data, shape, kernels, reps=reps)
+        if not times:
+            continue
+        best = min(times, key=times.get)
+        counts = np.diff(indptr)
+        X.append(
+            features(shape[0], len(indices), float(counts.mean()), float(counts.std()))
+        )
+        y.append(best)
+        if verbose:
+            print(f"  {name:12s} -> {best:10s} " + " ".join(
+                f"{k}={v*1e3:.2f}ms" for k, v in sorted(times.items())))
+    model = train(np.asarray(X), y)
+    model.save(path)
+    if verbose:
+        acc = np.mean([model.predict(x) == l for x, l in zip(X, y)])
+        print(f"model saved to {path}; train accuracy {acc:.2f}")
+    return model
