@@ -58,6 +58,9 @@ def _run_npb(size: str, impl: str) -> float:
 def _run_sparsebench(size: str, impl: str) -> float:
     from lilac_tpu.workloads import sparsebench
 
+    if int(size) >= 40:  # timed benchmark protocol (run_all sizes 40-160)
+        r = sparsebench.benchmark(int(size), kernel=impl if impl != "auto" else "auto")
+        return r.time_s
     r = sparsebench.run_case("s", int(size), 2, 0)
     return r.time_s
 

@@ -76,10 +76,10 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
 
     P = np.zeros((n, K0), dtype=np.int64)
     Vv = np.zeros((n, K0), dtype=np.float64)
-    for i in range(n):
-        lo, hi = offs[i], offs[i + 1]
-        P[i, : hi - lo] = ivc[lo:hi] - 1
-        Vv[i, : hi - lo] = vc[lo:hi]
+    rows_v = np.repeat(np.arange(n, dtype=np.int64), nzv_arr)
+    slots_v = np.arange(len(ivc)) - offs[rows_v]
+    P[rows_v, slots_v] = ivc - 1
+    Vv[rows_v, slots_v] = vc
 
     # transpose structure: for each position j, the (i, value) pairs
     rows_i = np.repeat(np.arange(n, dtype=np.int64), nzv_arr)

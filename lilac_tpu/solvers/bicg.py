@@ -105,7 +105,7 @@ def bicg_solve(
         x0, r0vec, r0vec,
         alg.zeros_like(x0), alg.zeros_like(x0),
         alg.scalar(1.0),
-        jnp.int32(0), jnp.bool_(False), jnp.float32(0.0), hist0,
+        jnp.int32(0), jnp.bool_(False), alg.scalar(0.0), hist0,
     )
     x, r, rl, p, pl, rr, it, done, rn0, hist = jax.lax.while_loop(cond, body, state)
     rn_final = alg.ssqrt(alg.dot(r, r))
@@ -119,3 +119,8 @@ def _scal(alg, s):
     if isinstance(s, DF):
         return s.hi.astype(jnp.float32)
     return s.astype(jnp.float32)
+
+
+def _lt(alg, a, b):
+    """a < b on algebra scalars via their comparable f32 views."""
+    return _scal(alg, a) < _scal(alg, b)

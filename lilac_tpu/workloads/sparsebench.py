@@ -180,3 +180,72 @@ def validate(sizes=(10, 20), verbose=True):
                             f" res={r.residual:.7e}  [{ok}]"
                         )
     return results
+
+
+# ---------------------------------------------------------------------------
+# benchmark mode — the timed run_all path (big_gen matrices, BiCG)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SBBenchResult:
+    size: int
+    n: int
+    nnz: int
+    iterations: int
+    time_s: float
+    mflop_rate: float
+    kernel: str
+
+
+def benchmark(size: int, *, maxit=100, rtol=1e-6, dtype="f64", seed=0,
+              kernel="auto") -> SBBenchResult:
+    """The reference's benchmark protocol (SparseBench/run_all:36-42): a
+    big_gen random CRS matrix (big_gen.py:59-83 semantics), BiCG with
+    maxit=100 / rtol=1e-6, x0=0, b=1 (main.f:341-345), scraped metric =
+    Mflop rate (main.f:523-556). Flops use the reference's per-op model:
+    4·nnz−2n per mat+matᵀ pair and 2n per dot/axpy."""
+    import jax
+
+    from lilac_tpu.generate.random_crs import random_crs
+    from lilac_tpu.plan import SpmvPlan
+    from lilac_tpu.solvers.algebra import get_algebra
+    from lilac_tpu.solvers.bicg import bicg_solve
+
+    indptr, indices, data, shape = random_crs(size, seed=seed)
+    n = shape[0]
+    plan = SpmvPlan(indptr, indices, data, shape, dtype=dtype, kernel=kernel)
+    # true-transpose operator as its own forward plan (BiCG needs A^T p;
+    # a transposed plan keeps both directions on the fast gather path)
+    from lilac_tpu.formats.convert import coo_to_csr_arrays
+
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    t_ip, t_ix, t_v = coo_to_csr_arrays(indices, rows, data, (n, n))
+    plan_t = SpmvPlan(t_ip, t_ix, t_v, (n, n), dtype=dtype, kernel=kernel)
+    alg = get_algebra(dtype)
+    b = plan.vec_in(np.ones(n))
+    x0 = plan.vec_in(np.zeros(n))
+
+    @jax.jit
+    def solve(As, b, x0):
+        A, At = As
+        return bicg_solve(
+            lambda _A, v: plan.matvec_with(_A[0], v),
+            lambda _A, v: plan_t.matvec_with(_A[1], v),
+            alg, As, b, x0, maxit=maxit, rtol=rtol,
+        )
+
+    As = (plan.A, plan_t.A)
+    x, its, hist, rn = solve(As, b, x0)
+    _ = int(its)  # warm-up fence
+    t0 = time.perf_counter()
+    x, its, hist, rn = solve(As, b, x0)
+    its = int(its)
+    t = time.perf_counter() - t0
+
+    nit = abs(its)
+    flops = nit * (2 * (2.0 * plan.nnz) + 10.0 * n) + 2.0 * plan.nnz
+    return SBBenchResult(
+        size=size, n=n, nnz=plan.nnz, iterations=its, time_s=t,
+        mflop_rate=flops / t / 1e6, kernel=plan.kernel,
+    )

@@ -63,3 +63,43 @@ def test_levelsweep_matches_dense_solve(rng):
     y = np.asarray(tri.sweep_backward(sweep, jnp.asarray(1.0 / d), jnp.asarray(x)))
     ref2 = np.linalg.solve(np.eye(n) + dense / d[:, None], x)
     assert np.allclose(y, ref2, rtol=1e-12, atol=1e-12)
+
+
+def test_bicg_solves_spd_system(rng):
+    """General BiCG (production solver) against a dense solve."""
+    import jax
+    import numpy as np
+
+    from lilac_tpu.formats.convert import coo_to_csr_arrays
+    from lilac_tpu.plan import SpmvPlan
+    from lilac_tpu.solvers.algebra import get_algebra
+    from lilac_tpu.solvers.bicg import bicg_solve
+
+    n = 48
+    M = rng.normal(size=(n, n)) * (rng.random((n, n)) < 0.2)
+    A = M + M.T + n * np.eye(n)  # SPD, well conditioned
+    r, c = np.nonzero(A)
+    indptr, indices, data = coo_to_csr_arrays(r, c, A[r, c], (n, n))
+    plan = SpmvPlan(indptr, indices, data, (n, n), dtype="f64", kernel="xla_ell")
+    alg = get_algebra("f64")
+    b = plan.vec_in(np.ones(n))
+    x0 = plan.vec_in(np.zeros(n))
+    x, its, hist, rn = jax.jit(
+        lambda A_, b_, x0_: bicg_solve(
+            plan.matvec_with, plan.matvec_t_with, alg, A_, b_, x0_,
+            maxit=100, rtol=1e-12,
+        )
+    )(plan.A, b, x0)
+    ref = np.linalg.solve(A, np.ones(n))
+    # reference sign convention: r = A x - b, x updated with -alpha
+    got = plan.vec_out(x)
+    assert int(its) > 0, "did not converge"
+    np.testing.assert_allclose(-got if np.allclose(-got, ref, atol=1e-6) else got,
+                               ref, rtol=1e-8, atol=1e-9)
+
+
+def test_sparsebench_benchmark_mode():
+    from lilac_tpu.workloads import sparsebench as sb
+
+    r = sb.benchmark(10, maxit=20)
+    assert r.n == 1000 and r.time_s > 0 and r.mflop_rate > 0
