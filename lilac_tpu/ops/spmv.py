@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import jax
 
-from lilac_tpu.formats.sparse import BSR, COO, CSR, ELL
+from lilac_tpu.formats.sparse import BSR, BucketELL, COO, CSR, ELL
 
 
 def spmv(A, x):
@@ -28,6 +28,8 @@ def spmv(A, x):
         return xla.coo_spmv(A, x)
     if isinstance(A, BSR):
         return xla.bsr_spmv(A, x)
+    if isinstance(A, BucketELL):
+        return xla.bucket_ell_spmv(A, x)
     raise TypeError(f"unsupported container {type(A)}")
 
 
