@@ -133,7 +133,12 @@ def gmres_solve(
                 y = jax.lax.fori_loop(0, it + 1, backsub, jnp.zeros(m + 1, dtype))
                 comb = jnp.einsum("k,kn->n", y, V[: m + 1])
                 mvv = psolve(A, comb) if precond else comb
-                x_new = x - mvv
+                # The reference pairs `x -= z` with `r -= A z`
+                # (iter.f:258-262) — consistent only if x ACCUMULATES z, so
+                # its returned x is the negated solution (never consumed in
+                # the benchmark). The production solver returns the honest
+                # x = x0 + corrections, matching the residual it reports.
+                x_new = x + mvv
                 r_new = r - matvec(A, mvv)
                 te = jnp.sqrt(mdot(r_new, r_new))
                 return (x_new, r_new, te)

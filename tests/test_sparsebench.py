@@ -103,3 +103,73 @@ def test_sparsebench_benchmark_mode():
 
     r = sb.benchmark(10, maxit=20)
     assert r.n == 1000 and r.time_s > 0 and r.mflop_rate > 0
+
+
+def test_gmres_solve_production(rng):
+    """General restarted GMRES (production solver) against a dense solve."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lilac_tpu.formats.convert import coo_to_csr_arrays
+    from lilac_tpu.plan import SpmvPlan
+
+    n = 40
+    M = rng.normal(size=(n, n)) * (rng.random((n, n)) < 0.25)
+    A = M + n * np.eye(n)  # diagonally dominant, unsymmetric
+    r, c = np.nonzero(A)
+    indptr, indices, data = coo_to_csr_arrays(r, c, A[r, c], (n, n))
+    plan = SpmvPlan(indptr, indices, data, (n, n), dtype="f64", kernel="xla_ell")
+
+    from lilac_tpu.solvers.gmres import gmres_solve
+
+    b = jnp.ones(n, jnp.float64)
+    x0 = jnp.zeros(n, jnp.float64)
+    x, its, hist, true_err = jax.jit(
+        lambda A_, b_, x0_: gmres_solve(
+            plan.matvec_with, A_, b_, x0_, restart=10, maxit=60, rtol=1e-12
+        )
+    )(plan.A, b, x0)
+    ref = np.linalg.solve(A, np.ones(n))
+    got = np.asarray(x)
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 1e-8, (err, int(its))
+
+
+def test_precond_ilu0_improves_cg(rng):
+    """ILU(0)-preconditioned CG converges faster than plain CG."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lilac_tpu.formats.convert import coo_to_csr_arrays
+    from lilac_tpu.generate.stencil import seven_point_csr
+    from lilac_tpu.plan import SpmvPlan
+    from lilac_tpu.solvers.algebra import get_algebra
+    from lilac_tpu.solvers.cg import cg_solve
+    from lilac_tpu.solvers import precond
+
+    indptr, indices, data, shape = seven_point_csr(8, 8, 8)
+    n = shape[0]
+    plan = SpmvPlan(indptr, indices, data, shape, dtype="f64", kernel="xla_ell")
+    alg = get_algebra("f64")
+    b = jnp.ones(n, jnp.float64)
+
+    x_plain, it_plain, _ = jax.jit(
+        lambda A_, b_: cg_solve(plan.matvec_with, alg, A_, b_, maxit=200, rtol=1e-10)
+    )(plan.A, b)
+
+    fac = precond.ILU0.build(indptr, indices, data, shape)
+    psolve = lambda A_, r: fac.solve(r)  # noqa: E731
+    x_pc, it_pc, _ = jax.jit(
+        lambda A_, b_: cg_solve(
+            plan.matvec_with, alg, A_, b_, maxit=200, rtol=1e-10, precond=psolve
+        )
+    )(plan.A, b)
+    assert int(it_pc) < int(it_plain), (int(it_pc), int(it_plain))
+    # both converge to the true solution
+    dense = np.zeros(shape)
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    dense[rows, indices] = data
+    ref = np.linalg.solve(dense, np.ones(n))
+    np.testing.assert_allclose(np.asarray(x_pc), ref, rtol=1e-7, atol=1e-8)
