@@ -280,3 +280,81 @@ def bucket_ell_device(indptr, indices, data, shape, dtype=None, quantiles=(50, 9
         shape=tuple(shape),
         widths=widths,
     )
+
+
+def csr_to_seg_bucket_ell(
+    indptr, indices, data, shape, *, seg_size=163840, quantiles=(50, 90)
+):
+    """Host build for SegBucketELL (see formats/sparse.py)."""
+    from lilac_tpu.formats.sparse import SegBucketELL
+
+    n, ncol = shape
+    nseg = -(-ncol // seg_size)
+    counts = np.diff(indptr).astype(np.int64)
+    kmax = int(counts.max()) if n else 0
+    cand = sorted({max(int(np.percentile(counts, q)), 1) for q in quantiles} | {kmax})
+    identity = bool(cand and cand[0] * 1.25 >= kmax)
+    if identity:
+        # near-uniform row lengths: bucketing and the output un-permute
+        # buy nothing — keep original order (kernel skips the un-permute)
+        cand = [kmax]
+        perm = np.arange(n, dtype=np.int64)
+        inv_perm = perm
+    else:
+        perm = np.argsort(counts, kind="stable")
+        inv_perm = np.empty(n, dtype=np.int64)
+        inv_perm[perm] = np.arange(n)
+    sorted_counts = counts[perm]
+
+    # per-row, per-segment slices (rows already column-sorted)
+    rows_rep = np.repeat(np.arange(n), counts)
+    seg_of = indices // seg_size
+    # position of each entry within its (row, segment) run
+    # entries are sorted by (row, col) so (row, seg) runs are contiguous
+    run_key = rows_rep * nseg + seg_of
+    run_start = np.zeros(len(indices), dtype=bool)
+    if len(indices):
+        run_start[0] = True
+        run_start[1:] = run_key[1:] != run_key[:-1]
+    run_id = np.cumsum(run_start) - 1
+    first_of_run = np.zeros(run_id[-1] + 1 if len(indices) else 0, dtype=np.int64)
+    first_of_run[run_id[run_start]] = np.nonzero(run_start)[0]
+    slot_in_run = np.arange(len(indices)) - first_of_run[run_id]
+
+    # per (row, seg) counts
+    rs_counts = np.zeros((n, nseg), dtype=np.int64)
+    np.add.at(rs_counts, (rows_rep, seg_of), 1)
+
+    datas, idxs, parts = [], [], []
+    lo = 0
+    for w in cand:
+        hi = int(np.searchsorted(sorted_counts, w, side="right"))
+        if hi <= lo:
+            continue
+        rows_b = perm[lo:hi]
+        pos_of = np.full(n, -1, dtype=np.int64)
+        pos_of[rows_b] = np.arange(len(rows_b))
+        for s in range(nseg):
+            wk = int(rs_counts[rows_b, s].max()) if len(rows_b) else 0
+            if wk == 0:
+                continue
+            bi = np.zeros((len(rows_b), wk), dtype=np.int64)
+            bv = np.zeros((len(rows_b), wk) + data.shape[1:], dtype=data.dtype)
+            sel = (seg_of == s) & (pos_of[rows_rep] >= 0)
+            r_local = pos_of[rows_rep[sel]]
+            k_local = slot_in_run[sel]
+            bi[r_local, k_local] = indices[sel] - s * seg_size
+            bv[r_local, k_local] = data[sel]
+            datas.append(bv)
+            idxs.append(bi)
+            parts.append((lo, hi, s, wk))
+        lo = hi
+    return SegBucketELL(
+        data=tuple(jnp.asarray(v) for v in datas),
+        indices=tuple(jnp.asarray(i, dtype=jnp.int32) for i in idxs),
+        inv_perm=jnp.asarray(inv_perm, dtype=jnp.int32),
+        shape=tuple(shape),
+        parts=tuple(parts),
+        seg_size=seg_size,
+        identity_perm=identity,
+    )

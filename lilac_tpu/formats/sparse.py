@@ -206,3 +206,32 @@ class BucketELL:
     inv_perm: jax.Array  # [nrows] int32
     shape: Tuple[int, int]
     widths: Tuple[int, ...]
+
+
+@partial(
+    _register,
+    data_fields=("data", "indices", "inv_perm"),
+    meta_fields=("shape", "parts", "seg_size", "identity_perm"),
+)
+@dataclasses.dataclass(frozen=True)
+class SegBucketELL:
+    """Column-segmented, degree-bucketed ELL.
+
+    On TPU the slice-gather engine runs ~4x faster when the gather table
+    fits ~1-2MB (measured cliff at ~1.2MB on v5e); for large n the columns
+    are split into segments of `seg_size` and each (bucket, segment) pair
+    stores its own ELL with SEGMENT-LOCAL indices. One shared row
+    permutation (ascending total degree) serves every segment, so the
+    output needs a single un-permute.
+
+    parts: static tuple of (bucket_row_lo, bucket_row_hi, segment, width)
+    aligned with the data/indices tuples.
+    """
+
+    data: tuple  # per-part [n_b, K] float (or [.., 2] df)
+    indices: tuple  # per-part [n_b, K] int32 (segment-local)
+    inv_perm: jax.Array  # [nrows] int32
+    shape: Tuple[int, int]
+    parts: tuple
+    seg_size: int
+    identity_perm: bool = False  # original row order kept (uniform rows)

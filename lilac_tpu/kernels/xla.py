@@ -185,3 +185,62 @@ def bucket_ell_spmv_df(A: BucketELL, x: df.DF) -> df.DF:
 
 register_kernel("xla_sell", bucket_ell_spmv, BucketELL)
 register_kernel("xla_sell_df", bucket_ell_spmv_df, BucketELL, dfloat=True)
+
+
+# ---------------------------------------------------------------------------
+# SegBucketELL — column-segmented + degree-bucketed (large-n matrices)
+# ---------------------------------------------------------------------------
+
+from lilac_tpu.formats.sparse import SegBucketELL  # noqa: E402
+
+
+def _seg_tables(A: SegBucketELL, xs: jax.Array):
+    """Pad the [n, 2] pair table to whole segments and pre-slice per
+    segment (static slices; the gather engine runs ~4x faster on ≤1-2MB
+    tables, hence the segmentation)."""
+    nseg = max(p[2] for p in A.parts) + 1 if A.parts else 1
+    if nseg == 1:
+        return [xs]  # single segment: indices are already global-valid
+    total = nseg * A.seg_size
+    xs = jnp.pad(xs, ((0, total - xs.shape[0]), (0, 0)))
+    return [
+        jax.lax.dynamic_slice_in_dim(xs, s * A.seg_size, A.seg_size, 0)
+        for s in range(nseg)
+    ]
+
+
+def seg_bucket_ell_spmv(A: SegBucketELL, x: jax.Array) -> jax.Array:
+    xs = jnp.stack([x, x], axis=-1)
+    segs = _seg_tables(A, xs)
+    acc = {}
+    for (lo, hi, s, w), v, i in zip(A.parts, A.data, A.indices):
+        g = segs[s][i][..., 0]
+        part = jnp.sum(v * g, axis=1)
+        acc[(lo, hi)] = acc.get((lo, hi), 0.0) + part
+    y = jnp.concatenate([acc[k] for k in sorted(acc)])
+    if A.identity_perm:
+        return y
+    return pair_gather(y, A.inv_perm)
+
+
+def seg_bucket_ell_spmv_df(A: SegBucketELL, x: df.DF) -> df.DF:
+    xs = jnp.stack([x.hi, x.lo], axis=-1)
+    segs = _seg_tables(A, xs)
+    acc = {}
+    for (lo, hi, s, w), v, i in zip(A.parts, A.data, A.indices):
+        g = segs[s][i]
+        a = df.DF(v[..., 0], v[..., 1])
+        t = df.sum_df(df.mul(a, df.DF(g[..., 0], g[..., 1])), axis=1)
+        prev = acc.get((lo, hi))
+        acc[(lo, hi)] = t if prev is None else df.add(prev, t)
+    his = jnp.concatenate([acc[k].hi for k in sorted(acc)])
+    los = jnp.concatenate([acc[k].lo for k in sorted(acc)])
+    if A.identity_perm:
+        return df.DF(his, los)
+    ys = jnp.stack([his, los], axis=-1)
+    out = ys[A.inv_perm]
+    return df.DF(out[..., 0], out[..., 1])
+
+
+register_kernel("xla_segell", seg_bucket_ell_spmv, SegBucketELL)
+register_kernel("xla_segell_df", seg_bucket_ell_spmv_df, SegBucketELL, dfloat=True)

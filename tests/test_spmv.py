@@ -187,3 +187,43 @@ def test_spgemm_gustavson_matches_dense(rng):
     C2 = np.zeros(sc)
     C2[np.repeat(np.arange(sc[0]), np.diff(cp2)), ci2] = cv2
     np.testing.assert_allclose(C2, A @ B, rtol=1e-5, atol=1e-5)
+
+
+def test_seg_bucket_ell_matches_dense(rng):
+    import numpy as np
+
+    from lilac_tpu.formats.convert import csr_to_seg_bucket_ell
+    from lilac_tpu.kernels.xla import seg_bucket_ell_spmv
+    from tests.conftest import random_csr
+    import jax.numpy as jnp
+
+    (indptr, indices, data), shape = random_csr(rng, 200, 200, 0.05)
+    A = csr_to_seg_bucket_ell(indptr, indices, data, shape, seg_size=64)
+    x = rng.normal(size=shape[1])
+    y = np.asarray(seg_bucket_ell_spmv(A, jnp.asarray(x)))
+    dense = np.zeros(shape)
+    rows = np.repeat(np.arange(shape[0]), np.diff(indptr))
+    dense[rows, indices] = data
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_seg_bucket_ell_df_matches_dense(rng):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lilac_tpu.formats.convert import csr_to_seg_bucket_ell
+    from lilac_tpu.kernels.xla import seg_bucket_ell_spmv_df
+    from lilac_tpu.ops import dfloat as df
+    from tests.conftest import random_csr
+
+    (indptr, indices, data), shape = random_csr(rng, 150, 150, 0.06)
+    hi = data.astype(np.float32)
+    lo = (data - hi.astype(np.float64)).astype(np.float32)
+    vals = np.stack([hi, lo], axis=-1)
+    A = csr_to_seg_bucket_ell(indptr, indices, vals, shape, seg_size=50)
+    x = rng.normal(size=shape[1])
+    y = df.to_f64(seg_bucket_ell_spmv_df(A, df.from_f64(x)))
+    dense = np.zeros(shape)
+    rows = np.repeat(np.arange(shape[0]), np.diff(indptr))
+    dense[rows, indices] = data
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-13, atol=1e-13)
