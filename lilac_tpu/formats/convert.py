@@ -293,7 +293,12 @@ def csr_to_seg_bucket_ell(
     counts = np.diff(indptr).astype(np.int64)
     kmax = int(counts.max()) if n else 0
     cand = sorted({max(int(np.percentile(counts, q)), 1) for q in quantiles} | {kmax})
-    identity = bool(cand and cand[0] * 1.25 >= kmax)
+    # identity (no bucketing) is only safe single-segment: with multiple
+    # segments a single bucket pads every row to the global per-segment
+    # max count (Poisson max over n rows — observed 7x blow-up and HBM
+    # OOM on NPB class D). Multi-segment bucketing of per-segment counts
+    # is future work; callers choose seg_size >= ncol to opt out.
+    identity = bool(cand and cand[0] * 1.25 >= kmax and nseg == 1)
     if identity:
         # near-uniform row lengths: bucketing and the output un-permute
         # buy nothing — keep original order (kernel skips the un-permute)

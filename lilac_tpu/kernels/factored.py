@@ -78,10 +78,15 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
             return np.stack([hi, lo], axis=-1)
         return v.astype({"f32": np.float32, "f64": np.float64}[dtype])
 
+    # single segment: multi-segment ELL pads each row to its per-segment
+    # max count — for the wide-spread NPB degree distributions that costs
+    # more than the faster small-table gather buys (class D OOMed at 26GB).
+    # Revisit with per-segment bucketing.
+    seg = max(SEG_SIZE, n)
     v_ip, v_ix, v_v = coo_to_csr_arrays(rows_i, pos_j, vc, (n, n), sum_duplicates=False)
-    V = csr_to_seg_bucket_ell(v_ip, v_ix, to_vals(v_v), (n, n), seg_size=SEG_SIZE)
+    V = csr_to_seg_bucket_ell(v_ip, v_ix, to_vals(v_v), (n, n), seg_size=seg)
     t_ip, t_ix, t_v = coo_to_csr_arrays(pos_j, rows_i, vc, (n, n), sum_duplicates=False)
-    VT = csr_to_seg_bucket_ell(t_ip, t_ix, to_vals(t_v), (n, n), seg_size=SEG_SIZE)
+    VT = csr_to_seg_bucket_ell(t_ip, t_ix, to_vals(t_v), (n, n), seg_size=seg)
 
     ratio = cls.rcond ** (1.0 / n)
     s = np.empty(n, dtype=np.float64)
