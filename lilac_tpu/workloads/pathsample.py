@@ -169,6 +169,7 @@ def branching_matrix(
     temperature: float,
     direction: str = "AB",
     nconnmin: int = 0,
+    block_opposite: bool = True,
 ):
     """MAKED2 (Pfold.f90:641-743) + BFS pruning. Returns (indptr, indices,
     data, has_row) — canonical 0-based CSR of the branching probabilities
@@ -194,7 +195,9 @@ def branching_matrix(
     is_b = np.zeros(n, dtype=bool)
     is_b[db.b_set] = True
     sink = is_a if direction == "AB" else is_b
-    blocked = is_b if direction == "AB" else is_a  # no transitions INTO these
+    # pfold drops transitions INTO the opposite set (Pfold.f90:693-698);
+    # TFOLD's matrix keeps them (walkers pass through freely)
+    blocked = (is_b if direction == "AB" else is_a) if block_opposite else np.zeros(n, bool)
 
     # branching contributions: from PLUS->MINUS with exp(kplus - lksum[plus])
     # and MINUS->PLUS with exp(kminus - lksum[minus]); rows for sinks and
@@ -542,3 +545,85 @@ def write_commit_data(path: str, committor: np.ndarray) -> None:
     with open(path, "w") as f:
         for v in committor:
             f.write(f"{v:20.10G}\n")
+
+
+# ---------------------------------------------------------------------------
+# TFOLD — mean-first-passage-time iteration (Pfold.f90 SUBROUTINE TFOLD)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TfoldResult:
+    mfpt: np.ndarray  # [nmin] mean first passage time to the sink set
+    kAB: float  # occupation-weighted rate over the source set
+    iterations: int
+    time_s: float
+
+
+def tfold(
+    db: MinDatabase,
+    *,
+    temperature: float,
+    direction: str = "AB",
+    ntfold: int = 10000,
+    nconnmin: int = 0,
+    dtype: str = "f64",
+) -> TfoldResult:
+    """MFPT to the sink set by first-step iteration t ← τ + D·t (the
+    reference runs Gauss-Seidel/SOR, Pfold.f90 TFOLD:304-341; the TPU
+    version runs the Jacobi form of the same fixed point as one scanned
+    device program). kAB = Σ_{b∈B} exp(pfmin_b − pftotal_B)/t(b)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lilac_tpu.plan import SpmvPlan
+
+    t0 = time.perf_counter()
+    indptr, indices, data, has_row, sink = branching_matrix(
+        db, temperature=temperature, direction=direction, nconnmin=nconnmin,
+        block_opposite=False,
+    )
+    n = db.nmin
+    kplus, kminus = log_rates(db, temperature)
+    lnconn, _ = connectivity_census(db, nconnmin)
+    dead = (db.plus == db.minus) | (lnconn[db.plus] <= nconnmin) | (
+        lnconn[db.minus] <= nconnmin
+    )
+    live = ~dead
+    lksum = np.zeros(n)
+    np.add.at(lksum, db.plus[live], np.exp(kplus[live]))
+    np.add.at(lksum, db.minus[live], np.exp(kminus[live]))
+    with np.errstate(divide="ignore"):
+        tau = np.where(lksum > 0, 1.0 / lksum, 0.0)
+    tau = np.where(sink, 0.0, tau)  # sinks absorb instantly
+
+    plan = SpmvPlan(indptr, indices, data, (n, n), dtype=dtype)
+    taud = plan.vec_in(tau)
+    mask = jnp.asarray(has_row & ~sink)
+    t_init = plan.vec_in(tau)
+
+    # pinned value: 0 on sinks, tau on rowless minima
+    pinned = jnp.where(jnp.asarray(sink), 0.0, taud)
+
+    def sweep2(t, _):
+        newt = taud + plan.matvec_with(plan.A, t)
+        return jnp.where(mask, newt, pinned), None
+
+    @jax.jit
+    def run(t):
+        t, _ = jax.lax.scan(sweep2, t, None, length=ntfold)
+        return t
+
+    t_dev = run(t_init)
+    mfpt = plan.vec_out(t_dev)
+    el = time.perf_counter() - t0
+
+    pfmin = -db.emin / temperature - db.fvib / 2.0 - np.log(db.horder.astype(float))
+    src = db.b_set if direction == "AB" else db.a_set
+    m = pfmin[src].max()
+    pftotal = m + np.log(np.exp(pfmin[src] - m).sum())
+    with np.errstate(divide="ignore"):
+        kab = float(
+            np.sum(np.exp(pfmin[src] - pftotal) / np.where(mfpt[src] > 0, mfpt[src], np.inf))
+        )
+    return TfoldResult(mfpt=mfpt, kAB=kab, iterations=ntfold, time_s=el)

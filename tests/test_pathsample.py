@@ -141,3 +141,32 @@ def test_ngt_seeded_pfold_runs(db):
     r = ps.ngt(db, temperature=0.8, npfold=200, direction="BA")
     assert r.committor is not None
     assert 0.0 <= r.committor.min() and r.committor.max() <= 1.0 + 1e-9
+
+
+def test_tfold_matches_dense_mfpt(db):
+    """Jacobi MFPT sweeps converge to the dense first-step solution."""
+    T = 1.2  # fast-mixing so the iteration converges in a few thousand sweeps
+    r = ps.tfold(db, temperature=T, direction="AB", ntfold=40000)
+    indptr, indices, data, has_row, sink = ps.branching_matrix(
+        db, temperature=T, direction="AB", block_opposite=False
+    )
+    n = db.nmin
+    D = np.zeros((n, n))
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    D[rows, indices] = data
+    kplus, kminus = ps.log_rates(db, T)
+    lksum = np.zeros(n)
+    live = db.plus != db.minus
+    np.add.at(lksum, db.plus[live], np.exp(kplus[live]))
+    np.add.at(lksum, db.minus[live], np.exp(kminus[live]))
+    tau = np.where(lksum > 0, 1.0 / lksum, 0.0)
+    tau[np.asarray(sink)] = 0.0
+    free = has_row & ~sink
+    t_ref = np.zeros(n)
+    sub = np.ix_(free, free)
+    rhs = tau[free] + D[free][:, np.asarray(sink)].sum(axis=1) * 0.0
+    # dense: (I - D_ff) t_f = tau_f + D_fs·0
+    t_ref[free] = np.linalg.solve(np.eye(free.sum()) - D[sub], tau[free])
+    err = np.abs(r.mfpt - t_ref) / np.maximum(1.0, np.abs(t_ref))
+    assert err.max() < 1e-10, err.max()
+    assert r.kAB > 0
