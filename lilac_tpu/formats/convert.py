@@ -283,13 +283,27 @@ def bucket_ell_device(indptr, indices, data, shape, dtype=None, quantiles=(50, 9
 
 
 def csr_to_seg_bucket_ell(
-    indptr, indices, data, shape, *, seg_size=163840, quantiles=(50, 90)
+    indptr, indices, data, shape, *, seg_size=163840, quantiles=(50, 90),
+    seg_quantile=95.0,
 ):
-    """Host build for SegBucketELL (see formats/sparse.py)."""
+    """Host build for SegBucketELL (see formats/sparse.py).
+
+    Multi-segment mode stores a MAIN part per segment at a fixed
+    quantile-capped width (identity row order, no un-permute) and spills
+    the excess entries into a TAIL: a degree-bucketed single-"segment"
+    structure with GLOBAL indices (slow big-table gather, but only ~the
+    top few percent of entries). This caps the Poisson per-segment max
+    padding that otherwise blows memory (observed 7x on NPB class D).
+    Tail parts are marked with segment id -1 in `parts`.
+    """
     from lilac_tpu.formats.sparse import SegBucketELL
 
     n, ncol = shape
     nseg = -(-ncol // seg_size)
+    if nseg > 1:
+        return _seg_bucket_multiseg(
+            indptr, indices, data, shape, seg_size, nseg, quantiles, seg_quantile
+        )
     counts = np.diff(indptr).astype(np.int64)
     kmax = int(counts.max()) if n else 0
     cand = sorted({max(int(np.percentile(counts, q)), 1) for q in quantiles} | {kmax})
@@ -362,4 +376,75 @@ def csr_to_seg_bucket_ell(
         parts=tuple(parts),
         seg_size=seg_size,
         identity_perm=identity,
+    )
+
+
+def _seg_bucket_multiseg(indptr, indices, data, shape, seg_size, nseg,
+                         quantiles, seg_quantile):
+    from lilac_tpu.formats.sparse import SegBucketELL
+
+    n, _ = shape
+    counts = np.diff(indptr).astype(np.int64)
+    rows_rep = np.repeat(np.arange(n), counts)
+    seg_of = indices // seg_size
+    # per (row, seg) counts and within-run slots (entries col-sorted)
+    run_key = rows_rep * nseg + seg_of
+    run_start = np.zeros(len(indices), dtype=bool)
+    if len(indices):
+        run_start[0] = True
+        run_start[1:] = run_key[1:] != run_key[:-1]
+    run_id = np.cumsum(run_start) - 1
+    first_of_run = np.zeros(run_id[-1] + 1 if len(indices) else 0, dtype=np.int64)
+    first_of_run[run_id[run_start]] = np.nonzero(run_start)[0]
+    slot_in_run = np.arange(len(indices)) - first_of_run[run_id]
+    rs_counts = np.zeros((n, nseg), dtype=np.int64)
+    np.add.at(rs_counts, (rows_rep, seg_of), 1)
+
+    datas, idxs, parts = [], [], []
+    overflow_mask = np.zeros(len(indices), dtype=bool)
+    for s in range(nseg):
+        cs = rs_counts[:, s]
+        w = max(int(np.percentile(cs, seg_quantile)), 1)
+        sel = (seg_of == s) & (slot_in_run < w)
+        overflow_mask |= (seg_of == s) & (slot_in_run >= w)
+        bi = np.zeros((n, w), dtype=np.int64)
+        bv = np.zeros((n, w) + data.shape[1:], dtype=data.dtype)
+        bi[rows_rep[sel], slot_in_run[sel]] = indices[sel] - s * seg_size
+        bv[rows_rep[sel], slot_in_run[sel]] = data[sel]
+        datas.append(bv)
+        idxs.append(bi)
+        parts.append((0, n, s, w))
+
+    # tail: overflow entries with GLOBAL indices, degree-bucketed with its
+    # own row subset but emitted at FULL row height in identity order so
+    # the kernel can sum parts directly (rows without overflow contribute
+    # padded zeros; the tail is a few percent of entries)
+    ov = np.nonzero(overflow_mask)[0]
+    if len(ov):
+        t_counts = np.zeros(n, dtype=np.int64)
+        np.add.at(t_counts, rows_rep[ov], 1)
+        wt = int(t_counts.max())
+        # slot within tail per row
+        order = ov  # already (row, col)-sorted
+        trows = rows_rep[order]
+        tstart = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(tstart, trows + 1, 1)
+        np.cumsum(tstart, out=tstart)
+        tslot = np.arange(len(order)) - tstart[trows]
+        bi = np.zeros((n, wt), dtype=np.int64)
+        bv = np.zeros((n, wt) + data.shape[1:], dtype=data.dtype)
+        bi[trows, tslot] = indices[order]
+        bv[trows, tslot] = data[order]
+        datas.append(bv)
+        idxs.append(bi)
+        parts.append((0, n, -1, wt))
+
+    return SegBucketELL(
+        data=tuple(jnp.asarray(v) for v in datas),
+        indices=tuple(jnp.asarray(i, dtype=jnp.int32) for i in idxs),
+        inv_perm=jnp.arange(n, dtype=jnp.int32),
+        shape=tuple(shape),
+        parts=tuple(parts),
+        seg_size=seg_size,
+        identity_perm=True,
     )

@@ -78,10 +78,11 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
             return np.stack([hi, lo], axis=-1)
         return v.astype({"f32": np.float32, "f64": np.float64}[dtype])
 
-    # single segment: multi-segment ELL pads each row to its per-segment
-    # max count — for the wide-spread NPB degree distributions that costs
-    # more than the faster small-table gather buys (class D OOMed at 26GB).
-    # Revisit with per-segment bucketing.
+    # Single segment. The multi-segment layout (quantile widths + overflow
+    # tail, convert._seg_bucket_multiseg) keeps gather tables inside the
+    # fast-path cliff but its unrolled per-part temporaries OOMed class D
+    # at 21GB inside the scanned CG; it needs scan-based part accumulation
+    # before it pays off at this scale (PLAN.md round-2 item 2).
     seg = max(SEG_SIZE, n)
     v_ip, v_ix, v_v = coo_to_csr_arrays(rows_i, pos_j, vc, (n, n), sum_duplicates=False)
     V = csr_to_seg_bucket_ell(v_ip, v_ix, to_vals(v_v), (n, n), seg_size=seg)

@@ -197,24 +197,27 @@ from lilac_tpu.formats.sparse import SegBucketELL  # noqa: E402
 def _seg_tables(A: SegBucketELL, xs: jax.Array):
     """Pad the [n, 2] pair table to whole segments and pre-slice per
     segment (static slices; the gather engine runs ~4x faster on ≤1-2MB
-    tables, hence the segmentation)."""
+    tables, hence the segmentation). Returns (segments, full_table);
+    parts with segment id -1 (overflow tails) gather from the full
+    table with global indices."""
     nseg = max(p[2] for p in A.parts) + 1 if A.parts else 1
-    if nseg == 1:
-        return [xs]  # single segment: indices are already global-valid
+    if nseg <= 1:
+        return [xs], xs  # single segment: indices are global-valid
     total = nseg * A.seg_size
-    xs = jnp.pad(xs, ((0, total - xs.shape[0]), (0, 0)))
-    return [
-        jax.lax.dynamic_slice_in_dim(xs, s * A.seg_size, A.seg_size, 0)
+    xsp = jnp.pad(xs, ((0, total - xs.shape[0]), (0, 0)))
+    segs = [
+        jax.lax.dynamic_slice_in_dim(xsp, s * A.seg_size, A.seg_size, 0)
         for s in range(nseg)
     ]
+    return segs, xs
 
 
 def seg_bucket_ell_spmv(A: SegBucketELL, x: jax.Array) -> jax.Array:
     xs = jnp.stack([x, x], axis=-1)
-    segs = _seg_tables(A, xs)
+    segs, full = _seg_tables(A, xs)
     acc = {}
     for (lo, hi, s, w), v, i in zip(A.parts, A.data, A.indices):
-        g = segs[s][i][..., 0]
+        g = (full if s < 0 else segs[s])[i][..., 0]
         part = jnp.sum(v * g, axis=1)
         acc[(lo, hi)] = acc.get((lo, hi), 0.0) + part
     y = jnp.concatenate([acc[k] for k in sorted(acc)])
@@ -225,10 +228,10 @@ def seg_bucket_ell_spmv(A: SegBucketELL, x: jax.Array) -> jax.Array:
 
 def seg_bucket_ell_spmv_df(A: SegBucketELL, x: df.DF) -> df.DF:
     xs = jnp.stack([x.hi, x.lo], axis=-1)
-    segs = _seg_tables(A, xs)
+    segs, full = _seg_tables(A, xs)
     acc = {}
     for (lo, hi, s, w), v, i in zip(A.parts, A.data, A.indices):
-        g = segs[s][i]
+        g = (full if s < 0 else segs[s])[i]
         a = df.DF(v[..., 0], v[..., 1])
         t = df.sum_df(df.mul(a, df.DF(g[..., 0], g[..., 1])), axis=1)
         prev = acc.get((lo, hi))
