@@ -58,7 +58,17 @@ def run(
     if steps_per_dispatch is None:
         import os as _os
 
-        steps_per_dispatch = int(_os.environ.get("LILAC_STEPS_PER_DISPATCH", "3"))
+        env = _os.environ.get("LILAC_STEPS_PER_DISPATCH")
+        if env is not None:
+            steps_per_dispatch = int(env)
+        elif cls.na <= 20000:
+            # small classes are tunnel-latency-bound: run the whole loop as
+            # one program (seconds — far under the worker watchdog)
+            steps_per_dispatch = n_it
+        elif cls.na <= 200000:
+            steps_per_dispatch = 15  # ~5s programs on classes B/C
+        else:
+            steps_per_dispatch = 3  # class D+: keep programs under ~1 min
 
     if plan is None:
         if kernel == "factored":
