@@ -37,10 +37,17 @@ def bicg_solve(
     maxit: int = 100,
     rtol: float = 1e-6,
     psolve: Callable | None = None,
+    state: tuple | None = None,
+    stop_at: int | None = None,
 ):
-    """Returns (x, its, hist) — hist is the [maxit] residual-norm history
-    (zeros past convergence); its > 0 iff converged, matching the
-    reference's sign convention."""
+    """Returns (x, its, hist, rn_final, state) — hist is the [maxit]
+    residual-norm history (zeros past convergence); its > 0 iff converged,
+    matching the reference's sign convention.
+
+    `state`/`stop_at` support CHUNKED dispatch: pass stop_at=k to pause
+    after iteration k and feed the returned state back in (long single
+    executions can exceed the TPU worker watchdog at multi-million-row
+    sizes). The iterate path is identical to an unchunked run."""
     precond = psolve is not None
 
     r0vec = alg.sub(matvec(A, x0), rhs)
@@ -96,21 +103,26 @@ def bicg_solve(
             hist,
         )
 
+    # stop_at may be a traced value so chunked callers compile ONE program
+    limit = maxit if stop_at is None else jnp.minimum(stop_at, maxit)
+
     def cond(state):
         it, done = state[6], state[7]
-        return jnp.logical_and(it < maxit, jnp.logical_not(done))
+        return jnp.logical_and(it < limit, jnp.logical_not(done))
 
-    hist0 = jnp.zeros(maxit, jnp.float32)
-    state = (
-        x0, r0vec, r0vec,
-        alg.zeros_like(x0), alg.zeros_like(x0),
-        alg.scalar(1.0),
-        jnp.int32(0), jnp.bool_(False), alg.scalar(0.0), hist0,
-    )
-    x, r, rl, p, pl, rr, it, done, rn0, hist = jax.lax.while_loop(cond, body, state)
+    if state is None:
+        hist0 = jnp.zeros(maxit, jnp.float32)
+        state = (
+            x0, r0vec, r0vec,
+            alg.zeros_like(x0), alg.zeros_like(x0),
+            alg.scalar(1.0),
+            jnp.int32(0), jnp.bool_(False), alg.scalar(0.0), hist0,
+        )
+    out = jax.lax.while_loop(cond, body, state)
+    x, r, rl, p, pl, rr, it, done, rn0, hist = out
     rn_final = alg.ssqrt(alg.dot(r, r))
     its = jnp.where(done, it, -it)
-    return x, its, hist, rn_final
+    return x, its, hist, rn_final, out
 
 
 def _scal(alg, s):

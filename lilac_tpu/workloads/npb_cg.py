@@ -156,3 +156,21 @@ def _scalars_to_f64(arr, dtype: str) -> np.ndarray:
     if dtype == "df64":
         return df.to_f64(arr)
     return np.asarray(arr, dtype=np.float64)
+
+
+def print_report(r: NPBCGResult) -> str:
+    """The NPB report card (common/print_results.f layout)."""
+    card = f"""
+ CG Benchmark Completed (lilac_tpu)
+ Class           =             {r.class_name:>12s}
+ Size            =             {r.niter and CLASSES[r.class_name].na:>12d}
+ Iterations      =             {r.niter:>12d}
+ Time in seconds =             {r.time_s:>12.2f}
+ Mop/s total     =             {r.mops:>12.2f}
+ Operation type  =   floating point ({r.dtype})
+ Verification    =             {"SUCCESSFUL" if r.verified else "UNSUCCESSFUL":>12s}
+ Zeta            =             {r.zeta:>20.13E}
+ Kernel          =             {r.kernel:>12s}
+"""
+    print(card)
+    return card

@@ -198,7 +198,7 @@ class SBBenchResult:
     kernel: str
 
 
-def benchmark(size: int, *, maxit=100, rtol=1e-6, dtype="f64", seed=0,
+def benchmark(size: int, *, maxit=100, rtol=1e-6, dtype="df64", seed=0,
               kernel="auto") -> SBBenchResult:
     """The reference's benchmark protocol (SparseBench/run_all:36-42): a
     big_gen random CRS matrix (big_gen.py:59-83 semantics), BiCG with
@@ -226,21 +226,36 @@ def benchmark(size: int, *, maxit=100, rtol=1e-6, dtype="f64", seed=0,
     b = plan.vec_in(np.ones(n))
     x0 = plan.vec_in(np.zeros(n))
 
+    # chunked dispatch: long single executions exceed the TPU worker
+    # watchdog at multi-million-row sizes (same discipline as npb_cg)
+    chunk = min(maxit, max(1, (30_000_000) // max(n, 1)))
+
     @jax.jit
-    def solve(As, b, x0):
+    def solve_to(As, b, state, limit):
         A, At = As
         return bicg_solve(
             lambda _A, v: plan.matvec_with(_A[0], v),
             lambda _A, v: plan_t.matvec_with(_A[1], v),
             alg, As, b, x0, maxit=maxit, rtol=rtol,
+            state=state, stop_at=limit,
         )
 
     As = (plan.A, plan_t.A)
-    x, its, hist, rn = solve(As, b, x0)
-    _ = int(its)  # warm-up fence
+
+    def full():
+        state = None
+        limit = chunk
+        while True:
+            x, its, hist, rn, state = solve_to(As, b, state, jnp.int32(limit))
+            done = int(np.asarray(state[6])) >= maxit or bool(np.asarray(state[7]))
+            if done or limit >= maxit:
+                break
+            limit = min(maxit, limit + chunk)
+        return x, int(its), hist, rn
+
+    x, its, hist, rn = full()  # warm-up + compile
     t0 = time.perf_counter()
-    x, its, hist, rn = solve(As, b, x0)
-    its = int(its)
+    x, its, hist, rn = full()
     t = time.perf_counter() - t0
 
     nit = abs(its)

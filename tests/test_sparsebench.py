@@ -84,7 +84,7 @@ def test_bicg_solves_spd_system(rng):
     alg = get_algebra("f64")
     b = plan.vec_in(np.ones(n))
     x0 = plan.vec_in(np.zeros(n))
-    x, its, hist, rn = jax.jit(
+    x, its, hist, rn, _state = jax.jit(
         lambda A_, b_, x0_: bicg_solve(
             plan.matvec_with, plan.matvec_t_with, alg, A_, b_, x0_,
             maxit=100, rtol=1e-12,
@@ -101,7 +101,7 @@ def test_bicg_solves_spd_system(rng):
 def test_sparsebench_benchmark_mode():
     from lilac_tpu.workloads import sparsebench as sb
 
-    r = sb.benchmark(10, maxit=20)
+    r = sb.benchmark(10, maxit=20, dtype="f64")
     assert r.n == 1000 and r.time_s > 0 and r.mflop_rate > 0
 
 
