@@ -61,7 +61,7 @@ class SpmvPlan:
             kernel = self._select_kernel()
         self.kernel = kernel
 
-        if kernel in ("xla_ell", "pallas_ell"):
+        if kernel == "xla_ell":
             jt = {"f32": np.float32, "f64": np.float64, "bf16": np.float32}[dtype]
             self.A = convert.ell_device(
                 indptr, indices, data, shape, dtype=jt, row_pad=8
@@ -137,14 +137,10 @@ class SpmvPlan:
             return _xla.bucket_ell_spmv(A, x)
         if self.kernel == "xla_sell_df":
             return _xla.bucket_ell_spmv_df(A, x)
-        if self.kernel == "pallas_ell":
-            from lilac_tpu.kernels import pallas_ell
-
-            return pallas_ell.ell_spmv_pallas(A, x)
         raise ValueError(self.kernel)
 
     def matvec_t_with(self, A, x):
-        if self.kernel in ("xla_ell", "pallas_ell"):
+        if self.kernel == "xla_ell":
             return _xla.ell_spmv_t(A, x)
         if self.kernel == "xla_csr":
             return _xla.csr_spmv_t(A, x)
