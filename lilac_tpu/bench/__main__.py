@@ -29,6 +29,9 @@ def main(argv=None):
     pm = sub.add_parser("marshall")  # ≙ the *-slow marshalling probes
     pm.add_argument("--size", type=int, default=30)
 
+    pf = sub.add_parser("spmv-roofline")  # per-chip nnz/s + GB/s vs ceiling
+    pf.add_argument("--sizes", default="20,40,60")
+
     args = p.parse_args(argv)
     if args.cmd == "devices":
         import jax
@@ -51,6 +54,48 @@ def main(argv=None):
             SpmvPlan(indptr, indices, data, shape, dtype="f32", kernel=kernel)
             print(f"  plan build ({kernel}): {time.perf_counter()-t0:.3f}s "
                   f"(the reference's *-slow backends re-marshal this every call)")
+        return 0
+    if args.cmd == "spmv-roofline":
+        import time
+
+        import numpy as np
+        import jax
+
+        from lilac_tpu.generate.random_crs import random_crs
+        from lilac_tpu.plan import SpmvPlan
+        from lilac_tpu.utils.profiling import chip_spec, roofline
+
+        spec = chip_spec()
+        print(f"device: {jax.devices()[0]}  HBM ceiling {spec['hbm_gbps']} GB/s")
+        for size in map(int, args.sizes.split(",")):
+            indptr, indices, data, shape = random_crs(size, seed=1)
+            plan = SpmvPlan(indptr, indices, data, shape, dtype="f32")
+            x = plan.vec_in(np.random.default_rng(0).normal(size=shape[1]))
+            reps = 50
+
+            @jax.jit
+            def chain(A, v):
+                def body(_, vv):
+                    return plan.matvec_with(A, vv)
+
+                return jax.lax.fori_loop(0, reps, body, v)
+
+            y = chain(plan.A, x)
+            import jax.numpy as jnp
+
+            _ = float(jnp.ravel(jax.tree_util.tree_leaves(y)[0])[0])
+            t0 = time.perf_counter()
+            y = chain(plan.A, x)
+            _ = float(jnp.ravel(jax.tree_util.tree_leaves(y)[0])[0])
+            t = (time.perf_counter() - t0) / reps
+            # bytes: values + indices + gathered x + written y
+            bytes_moved = plan.nnz * (4 + 4 + 4) + shape[0] * 4
+            r = roofline(bytes_moved, 2.0 * plan.nnz, t)
+            print(
+                f"  n={shape[0]:>8d} nnz={plan.nnz:>9d} kernel={plan.kernel:9s}"
+                f" {t*1e3:7.3f} ms  {plan.nnz/t/1e6:8.1f} Mnnz/s"
+                f"  {r['gbps']:6.1f} GB/s ({r['frac_hbm']:.1%} of HBM roofline)"
+            )
         return 0
     if args.cmd == "run":
         row = bench.run_bench(
