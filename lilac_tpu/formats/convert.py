@@ -379,6 +379,86 @@ def csr_to_seg_bucket_ell(
     )
 
 
+def csr_to_seg_ell_scan(
+    indptr, indices, data, shape, *, seg_size=163840, seg_quantile=97.0
+):
+    """Host build for SegELLScan (see formats/sparse.py).
+
+    One uniform width w = the `seg_quantile` percentile of per-(row,
+    segment) entry counts (max across segments so the tail stays small);
+    the first w entries of each (row, segment) run go into that segment's
+    slab, the rest spill into the global-index tail.
+    """
+    from lilac_tpu.formats.sparse import SegELLScan
+
+    n, ncol = shape
+    nseg = -(-ncol // seg_size)
+    counts = np.diff(indptr).astype(np.int64)
+    rows_rep = np.repeat(np.arange(n), counts)
+    seg_of = indices // seg_size
+    # within-(row, segment)-run slot (entries are (row, col)-sorted)
+    run_key = rows_rep * nseg + seg_of
+    run_start = np.zeros(len(indices), dtype=bool)
+    if len(indices):
+        run_start[0] = True
+        run_start[1:] = run_key[1:] != run_key[:-1]
+    run_id = np.cumsum(run_start) - 1
+    first_of_run = np.zeros(run_id[-1] + 1 if len(indices) else 0, dtype=np.int64)
+    first_of_run[run_id[run_start]] = np.nonzero(run_start)[0]
+    slot_in_run = np.arange(len(indices)) - first_of_run[run_id]
+    rs_counts = np.zeros((n, nseg), dtype=np.int64)
+    np.add.at(rs_counts, (rows_rep, seg_of), 1)
+
+    w = max(
+        1,
+        int(max(np.percentile(rs_counts[:, s], seg_quantile) for s in range(nseg)))
+        if n
+        else 1,
+    )
+    main = slot_in_run < w
+    # w-MAJOR slabs: [nseg, w, n] so the big n dimension sits on the lane
+    # axis (w-minor layouts pad w -> 128 lanes: measured 25x blow-up)
+    mi = np.zeros((nseg, w, n), dtype=np.int64)
+    mv = np.zeros((nseg, w, n) + data.shape[1:], dtype=data.dtype)
+    mi[seg_of[main], slot_in_run[main], rows_rep[main]] = (
+        indices[main] - seg_of[main] * seg_size
+    )
+    mv[seg_of[main], slot_in_run[main], rows_rep[main]] = data[main]
+
+    ov = np.nonzero(~main)[0]
+    tv = ti = tp = None
+    if len(ov):
+        trows = rows_rep[ov]
+        tail_rows = np.unique(trows)  # sorted
+        m_t = len(tail_rows)
+        pos_of = np.full(n, m_t, dtype=np.int64)
+        pos_of[tail_rows] = np.arange(m_t)
+        tstart = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(tstart, trows + 1, 1)
+        np.cumsum(tstart, out=tstart)
+        tslot = np.arange(len(ov)) - tstart[trows]
+        wt = int(np.diff(tstart).max())
+        ti_np = np.zeros((wt, m_t), dtype=np.int64)
+        tv_np = np.zeros((wt, m_t) + data.shape[1:], dtype=data.dtype)
+        ti_np[tslot, pos_of[trows]] = indices[ov]
+        tv_np[tslot, pos_of[trows]] = data[ov]
+        ti = jnp.asarray(ti_np, dtype=jnp.int32)
+        tv = jnp.asarray(tv_np)
+        tp = jnp.asarray(pos_of, dtype=jnp.int32)
+
+    return SegELLScan(
+        main_data=jnp.asarray(mv),
+        main_indices=jnp.asarray(mi, dtype=jnp.int32),
+        tail_data=tv,
+        tail_indices=ti,
+        tail_pos=tp,
+        shape=tuple(shape),
+        seg_size=seg_size,
+        nseg=nseg,
+        width=w,
+    )
+
+
 def _seg_bucket_multiseg(indptr, indices, data, shape, seg_size, nseg,
                          quantiles, seg_quantile):
     from lilac_tpu.formats.sparse import SegBucketELL

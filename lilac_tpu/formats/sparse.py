@@ -210,6 +210,50 @@ class BucketELL:
 
 @partial(
     _register,
+    data_fields=(
+        "main_data",
+        "main_indices",
+        "tail_data",
+        "tail_indices",
+        "tail_pos",
+    ),
+    meta_fields=("shape", "seg_size", "nseg", "width"),
+)
+@dataclasses.dataclass(frozen=True)
+class SegELLScan:
+    """Column-segmented ELL with a UNIFORM per-segment width, stacked for
+    lax.scan accumulation.
+
+    The scan-shaped twin of SegBucketELL's multi-segment mode: every
+    segment stores a w-major [width, n] ELL slab with SEGMENT-LOCAL
+    indices (segment tables stay under the v5e slice-gather fast-path
+    cliff), all slabs stacked on a leading [nseg] axis so the kernel
+    accumulates them with one lax.scan — temporaries are bounded by ONE
+    slab instead of the unrolled per-part graph that OOMed NPB class D at
+    21GB. Slabs are stored w-MAJOR ([w, n], n on the lane axis): with w
+    minor, XLA tiles the tiny width dimension to 128 lanes — a measured
+    25x padding blow-up (14GB on class D index arrays alone).
+
+    Entries beyond `width` in any (row, segment) run spill into a COMPACT
+    tail holding only the rows that overflow (global column indices,
+    big-table gather, ~the top few percent of entries); `tail_pos[r]`
+    maps row r to its tail slot (= m_t for rows without overflow, which
+    read a zero pad slot). Row order is identity throughout.
+    """
+
+    main_data: jax.Array  # [nseg, width, n] float (or [..., 2] df)
+    main_indices: jax.Array  # [nseg, width, n] int32 (segment-local)
+    tail_data: jax.Array | None  # [wt, m_t] float (or [..., 2] df)
+    tail_indices: jax.Array | None  # [wt, m_t] int32 (GLOBAL)
+    tail_pos: jax.Array | None  # [n] int32 (row -> tail slot, m_t = none)
+    shape: Tuple[int, int]
+    seg_size: int
+    nseg: int
+    width: int
+
+
+@partial(
+    _register,
     data_fields=("data", "indices", "inv_perm"),
     meta_fields=("shape", "parts", "seg_size", "identity_perm"),
 )

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lilac_tpu.formats.sparse import SegBucketELL
+from lilac_tpu.formats.sparse import SegBucketELL, SegELLScan
 from lilac_tpu.ops import dfloat as df
 
 
@@ -78,16 +78,32 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
             return np.stack([hi, lo], axis=-1)
         return v.astype({"f32": np.float32, "f64": np.float64}[dtype])
 
-    # Single segment. The multi-segment layout (quantile widths + overflow
-    # tail, convert._seg_bucket_multiseg) keeps gather tables inside the
-    # fast-path cliff but its unrolled per-part temporaries OOMed class D
-    # at 21GB inside the scanned CG; it needs scan-based part accumulation
-    # before it pays off at this scale (PLAN.md round-2 item 2).
-    seg = max(SEG_SIZE, n)
+    # Segmentation mode: matrices taller than one segment use the
+    # scan-accumulated uniform-width layout (SegELLScan) — segment-local
+    # fast-path gathers with temporaries bounded to one slab (the unrolled
+    # multi-part layout OOMed class D at 21GB); smaller classes fit a
+    # single fast-path table and keep the bucketed single-segment layout.
+    import os as _os
+
+    from lilac_tpu.formats.convert import csr_to_seg_ell_scan
+
+    mode = _os.environ.get("LILAC_FACTORED_SEGMODE", "auto")
+    use_scan = n > SEG_SIZE if mode == "auto" else mode == "scan"
+    squant = float(_os.environ.get("LILAC_SEG_QUANTILE", "97"))
+
     v_ip, v_ix, v_v = coo_to_csr_arrays(rows_i, pos_j, vc, (n, n), sum_duplicates=False)
-    V = csr_to_seg_bucket_ell(v_ip, v_ix, to_vals(v_v), (n, n), seg_size=seg)
     t_ip, t_ix, t_v = coo_to_csr_arrays(pos_j, rows_i, vc, (n, n), sum_duplicates=False)
-    VT = csr_to_seg_bucket_ell(t_ip, t_ix, to_vals(t_v), (n, n), seg_size=seg)
+    if use_scan:
+        V = csr_to_seg_ell_scan(
+            v_ip, v_ix, to_vals(v_v), (n, n), seg_size=SEG_SIZE, seg_quantile=squant
+        )
+        VT = csr_to_seg_ell_scan(
+            t_ip, t_ix, to_vals(t_v), (n, n), seg_size=SEG_SIZE, seg_quantile=squant
+        )
+    else:
+        seg = max(SEG_SIZE, n)
+        V = csr_to_seg_bucket_ell(v_ip, v_ix, to_vals(v_v), (n, n), seg_size=seg)
+        VT = csr_to_seg_bucket_ell(t_ip, t_ix, to_vals(t_v), (n, n), seg_size=seg)
 
     ratio = cls.rcond ** (1.0 / n)
     s = np.empty(n, dtype=np.float64)
@@ -108,24 +124,36 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
 # ---------------------------------------------------------------------------
 
 
+def _spmv_any(A, x):
+    from lilac_tpu.kernels.xla import seg_bucket_ell_spmv, seg_ell_scan_spmv
+
+    if isinstance(A, SegELLScan):
+        return seg_ell_scan_spmv(A, x)
+    return seg_bucket_ell_spmv(A, x)
+
+
+def _spmv_any_df(A, x):
+    from lilac_tpu.kernels.xla import seg_bucket_ell_spmv_df, seg_ell_scan_spmv_df
+
+    if isinstance(A, SegELLScan):
+        return seg_ell_scan_spmv_df(A, x)
+    return seg_bucket_ell_spmv_df(A, x)
+
+
 def factored_spmv(A: FactoredNPB, x: jax.Array) -> jax.Array:
     """Plain-float factored product (f32/f64)."""
-    from lilac_tpu.kernels.xla import seg_bucket_ell_spmv
-
-    t = seg_bucket_ell_spmv(A.V, x)
+    t = _spmv_any(A.V, x)
     u = A.s * t
-    y = seg_bucket_ell_spmv(A.VT, u)
+    y = _spmv_any(A.VT, u)
     return y + A.d0 * x
 
 
 def factored_spmv_df(A: FactoredNPB, x: df.DF) -> df.DF:
     """df64 factored product: TwoProd per element, compensated reductions."""
-    from lilac_tpu.kernels.xla import seg_bucket_ell_spmv_df
-
-    t = seg_bucket_ell_spmv_df(A.V, x)
+    t = _spmv_any_df(A.V, x)
     s = df.DF(A.s[..., 0], A.s[..., 1])
     u = df.mul(s, t)
-    y = seg_bucket_ell_spmv_df(A.VT, u)
+    y = _spmv_any_df(A.VT, u)
     d0 = df.DF(A.d0[..., 0], A.d0[..., 1])
     dx = df.mul(df.DF(jnp.broadcast_to(d0.hi, x.hi.shape),
                       jnp.broadcast_to(d0.lo, x.lo.shape)), x)

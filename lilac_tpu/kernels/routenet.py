@@ -1,0 +1,251 @@
+"""Plan-time gather routing networks (host construction).
+
+TPU has no fast arbitrary-gather primitive: XLA's slice-gather engine runs
+at ~1.4-5.3 ns per gathered element (measured, v5e), while a masked
+roll/select stage over a VMEM-resident block runs ~0.0045 ns/elem (measured,
+Pallas). A gather `out[k] = x[idx[k]]` with idx known at PLAN time is
+realizable as a static network of such stages:
+
+    1. Beneš permutation routing each distinct needed value from its
+       natural slot v to `first_v` = the first position of its run in
+       sorted(idx)                                  [2*log2(m) - 1 stages]
+    2. monotone run broadcast: position k with offset o = k - first(run)
+       copies from k - 2^j at stage j = floor(log2(o)) — source offsets
+       are < 2^j, already filled by earlier stages   [log2(max_run) stages]
+    3. Beneš permutation from sorted order to the requested slot order
+       (out[ord[p]] = sorted_gather[p], ord = argsort(idx))
+                                                    [2*log2(m) - 1 stages]
+
+All stages are the same primitive: y[i] = mask[i] ? y[partner(i)] : y[i]
+with partner = i XOR d (Beneš exchange) or i - d (broadcast shift), d a
+power of two. Switch masks depend only on idx — computed here once,
+applied on device by kernels/routed.py. All-zero stages are dropped.
+
+This replaces the recursive constructor in kernels/routing.py with a fully
+vectorized level-batched one (the recursion spent its time in millions of
+tiny sub-problems; here every level is one numpy pass over [B, m] arrays,
+and independent networks are batched on the leading axis).
+
+Reference counterpart: none — the reference suite leans on vendor gather
+hardware (MKL/cuSPARSE, /root/reference/libspmv/mkl.c:71, gpu.c:270); this
+module is the TPU-native answer to the same "make SpMV memory-bound, not
+gather-bound" problem.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# batched Beneš construction
+# ---------------------------------------------------------------------------
+
+
+def _two_color_batched(nbr_a: np.ndarray, nbr_b: np.ndarray) -> np.ndarray:
+    """2-color the union of two perfect matchings on [B, m] arrays of
+    LOCAL neighbor indices (each row independent; cycles never cross rows).
+
+    Returns color[B, m] in {0, 1} with color[e] != color[nbr_a[e]] and
+    color[e] != color[nbr_b[e]] (even cycles guarantee 2-colorability).
+    """
+    B, m = nbr_a.shape
+    rows = np.arange(B)[:, None]
+    step = nbr_b[rows, nbr_a]  # even-distance walk: preserves orbit
+    leader = np.broadcast_to(np.arange(m), (B, m)).copy()
+    hop = step.copy()
+    for _ in range(int(np.ceil(np.log2(max(m, 2)))) + 1):
+        leader = np.minimum(leader, leader[rows, hop])
+        hop = hop[rows, hop]
+    # orbit(e) and orbit(nbr_a[e]) partition each cycle; compare leaders
+    color = (leader > leader[rows, nbr_a]).astype(np.int8)
+    return color
+
+
+def benes_route_batched(perm: np.ndarray) -> List[Tuple[int, np.ndarray]]:
+    """Switch settings realizing element x[i] -> position perm[i], batched.
+
+    perm: [B, m] (each row a permutation of 0..m-1), m a power of two.
+    Returns [(distance, mask[B, m])] with 2*log2(m) - 1 stages; stage
+    semantics: y[i] = x[i ^ d] if mask[..., i] else x[i] (consistent
+    exchanges: mask[i] == mask[i ^ d]).
+    """
+    perm = np.asarray(perm, dtype=np.int64)
+    if perm.ndim == 1:
+        perm = perm[None]
+    B, m = perm.shape
+    assert m & (m - 1) == 0 and m >= 2
+    nlev = int(np.log2(m))
+    rows = np.arange(B)[:, None]
+    e_glob = np.broadcast_to(np.arange(m), (B, m))
+
+    in_stages: List[Tuple[int, np.ndarray]] = []
+    out_stages: List[Tuple[int, np.ndarray]] = []
+
+    cur = perm.copy()  # block-local permutations at current level
+    for lev in range(nlev - 1):
+        ml = m >> lev  # block size
+        h = ml // 2
+        e_loc = e_glob & (ml - 1)
+        base = e_glob - e_loc
+        # local inverse within blocks
+        inv = np.empty_like(cur)
+        np.put_along_axis(inv, base + cur, e_loc, axis=1)
+        nbr_in = base + (e_loc ^ h)
+        nbr_out = base + inv[rows, base + ((cur + h) & (ml - 1))]
+        color = _two_color_batched(nbr_in, nbr_out)
+        # even-cycle 2-coloring is always consistent (leader comparison
+        # flips across both matchings); assert rather than silently
+        # mis-route if an invariant is ever violated
+        assert (color != color[rows, nbr_in]).all(), "benes coloring failed"
+
+        # input exchange at (i, i + h): swap iff low element's color is 1
+        low_color = np.where(e_loc < h, color, color[rows, nbr_in])
+        swap_in = low_color == 1
+        # output exchange at destinations (j, j + h): element landing at
+        # local j comes from subnetwork color[elem]; swap iff color of the
+        # element destined for the LOW output is 1
+        elem_at_out_low = inv[
+            rows, base + np.where((e_loc & h) == 0, e_loc, e_loc ^ h)
+        ]
+        swap_out = color[rows, base + elem_at_out_low] == 1
+        in_stages.append((h, swap_in))
+        out_stages.append((h, swap_out))
+
+        # positions after the input stage: element from local slot i sits
+        # at (i mod h) + h * color; next-level blocks are the two halves
+        pos_after = base + (e_loc % h) + h * color.astype(np.int64)
+        elem_at = np.empty_like(cur)  # element sitting at each slot
+        np.put_along_axis(elem_at, pos_after, e_glob, axis=1)
+        # sub-permutation: element must exit its subnetwork at (dest mod h)
+        nxt = cur[rows, elem_at] & (h - 1)
+        cur = nxt
+
+    # base level: blocks of 2, one exchange stage at distance 1
+    swap_base = cur != (e_glob & 1)
+    stages = in_stages + [(1, swap_base)] + out_stages[::-1]
+    return stages
+
+
+# ---------------------------------------------------------------------------
+# gather network = Beneš + run broadcast + Beneš
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class GatherPlanHost:
+    """Host-side stage schedule for a batch of same-size gather networks.
+
+    kinds[s]: 'xor' (partner i^d) or 'shift' (source i-d, cyclic roll)
+    dists[s]: power-of-two distance
+    masks:    [S, B, m] bool
+    m:        network size (power of two); out slot k of net b computes
+              x_b[idx[b, k]] for k < idx.shape[1], don't-care beyond.
+    """
+
+    kinds: Tuple[str, ...]
+    dists: Tuple[int, ...]
+    masks: np.ndarray
+    m: int
+
+    def apply_host(self, x: np.ndarray) -> np.ndarray:
+        """Reference applier: x [B, m] -> routed [B, m]."""
+        y = np.asarray(x).copy()
+        if y.ndim == 1:
+            y = y[None]
+        B, m = y.shape
+        rows = np.arange(B)[:, None]
+        e = np.arange(m)[None, :]
+        for kind, d, mask in zip(self.kinds, self.dists, self.masks):
+            if kind == "xor":
+                src = e ^ d
+            else:
+                src = (e - d) % m
+            y = np.where(mask, y[rows, np.broadcast_to(src, (B, m))], y)
+        return y
+
+
+def build_gather_network(idx: np.ndarray, n: int, m: int | None = None) -> GatherPlanHost:
+    """Build routing networks computing out[b, k] = x[b, idx[b, k]].
+
+    idx: [B, T] int (0 <= idx < n); m: network size (power of two,
+    >= max(n, T); default = that bound). Stages with all-false masks are
+    dropped (common when idx is partially sorted).
+    """
+    idx = np.asarray(idx, dtype=np.int64)
+    if idx.ndim == 1:
+        idx = idx[None]
+    B, T = idx.shape
+    need = max(n, T, 2)
+    if m is None:
+        m = 1 << int(np.ceil(np.log2(need)))
+    assert m >= need and m & (m - 1) == 0
+    rows = np.arange(B)[:, None]
+
+    ordv = np.argsort(idx, axis=1, kind="stable")
+    sidx = np.take_along_axis(idx, ordv, axis=1)
+
+    # run starts in sorted order
+    is_first = np.ones((B, T), dtype=bool)
+    is_first[:, 1:] = sidx[:, 1:] != sidx[:, :-1]
+
+    # ---- permutation 1: value v (slot v) -> first position of its run
+    perm1 = np.full((B, m), -1, dtype=np.int64)
+    firsts = np.nonzero(is_first)  # (b_list, p_list) sorted by (b, p)
+    perm1[firsts[0], sidx[firsts[0], firsts[1]]] = firsts[1]
+    # fill unassigned sources with unassigned targets, in order (keeps the
+    # filler near-monotone -> fewer set switches)
+    unassigned_src = perm1 < 0
+    tgt_taken = np.zeros((B, m), dtype=bool)
+    tgt_taken[firsts[0], firsts[1]] = True
+    for b in range(B):
+        src = np.nonzero(unassigned_src[b])[0]
+        tgt = np.nonzero(~tgt_taken[b])[0]
+        perm1[b, src] = tgt
+    stages1 = benes_route_batched(perm1)
+
+    # ---- broadcast: offset within run, copy from k - 2^msb(o)
+    run_first = np.maximum.accumulate(
+        np.where(is_first, np.arange(T)[None, :], 0), axis=1
+    )
+    off = np.arange(T)[None, :] - run_first
+    bcast: List[Tuple[int, np.ndarray]] = []
+    max_off = int(off.max()) if T else 0
+    j = 0
+    while (1 << j) <= max_off:
+        d = 1 << j
+        sel = (off >> j) == 1  # msb(off) == j  <=>  off in [2^j, 2^(j+1))
+        mask = np.zeros((B, m), dtype=bool)
+        mask[:, :T] = sel
+        bcast.append((d, mask))
+        j += 1
+
+    # ---- permutation 2: sorted position p -> requested slot ord[p]
+    perm2 = np.broadcast_to(np.arange(m), (B, m)).copy()
+    perm2[:, :T] = ordv
+    if T < m:
+        # positions T..m carry don't-care values; ordv values < T so the
+        # tail identity mapping keeps perm2 a permutation
+        pass
+    stages2 = benes_route_batched(perm2)
+
+    kinds: List[str] = []
+    dists: List[int] = []
+    masks: List[np.ndarray] = []
+    for d, mk in stages1:
+        kinds.append("xor"); dists.append(d); masks.append(mk)
+    for d, mk in bcast:
+        kinds.append("shift"); dists.append(d); masks.append(mk)
+    for d, mk in stages2:
+        kinds.append("xor"); dists.append(d); masks.append(mk)
+
+    keep = [s for s, mk in enumerate(masks) if mk.any()]
+    return GatherPlanHost(
+        kinds=tuple(kinds[s] for s in keep),
+        dists=tuple(dists[s] for s in keep),
+        masks=np.stack([masks[s] for s in keep]) if keep else np.zeros((0, B, m), bool),
+        m=m,
+    )

@@ -247,3 +247,65 @@ def seg_bucket_ell_spmv_df(A: SegBucketELL, x: df.DF) -> df.DF:
 
 register_kernel("xla_segell", seg_bucket_ell_spmv, SegBucketELL)
 register_kernel("xla_segell_df", seg_bucket_ell_spmv_df, SegBucketELL, dfloat=True)
+
+
+# ---------------------------------------------------------------------------
+# SegELLScan — uniform-width stacked segments, lax.scan accumulation
+# ---------------------------------------------------------------------------
+
+from lilac_tpu.formats.sparse import SegELLScan  # noqa: E402
+
+
+def _scan_seg_tables(A: SegELLScan, xs: jax.Array) -> jax.Array:
+    """Pad the [ncol, 2] pair table to whole segments and stack to
+    [nseg, seg_size, 2] so the scan slices one fast-path-sized (≤~1.3MB)
+    gather table per step."""
+    total = A.nseg * A.seg_size
+    xsp = jnp.pad(xs, ((0, total - xs.shape[0]), (0, 0)))
+    return xsp.reshape(A.nseg, A.seg_size, xs.shape[-1])
+
+
+def seg_ell_scan_spmv(A: SegELLScan, x: jax.Array) -> jax.Array:
+    xsegs = _scan_seg_tables(A, jnp.stack([x, x], axis=-1))
+
+    def body(y, op):
+        v, i, xseg = op  # v,i: [w, n] w-major; xseg: [seg, 2]
+        return y + jnp.sum(v * xseg[i][..., 0], axis=0), None
+
+    y0 = jnp.zeros(A.shape[0], A.main_data.dtype)
+    y, _ = jax.lax.scan(body, y0, (A.main_data, A.main_indices, xsegs))
+    if A.tail_data is not None:
+        yt = jnp.sum(A.tail_data * pair_gather(x, A.tail_indices), axis=0)
+        yt1 = jnp.concatenate([yt, jnp.zeros(1, yt.dtype)])
+        y = y + pair_gather(yt1, A.tail_pos)
+    return y
+
+
+def seg_ell_scan_spmv_df(A: SegELLScan, x: df.DF) -> df.DF:
+    xs = jnp.stack([x.hi, x.lo], axis=-1)
+    xsegs = _scan_seg_tables(A, xs)
+
+    def body(y, op):
+        v, i, xseg = op
+        g = xseg[i]
+        a = df.DF(v[..., 0], v[..., 1])
+        t = df.sum_df(df.mul(a, df.DF(g[..., 0], g[..., 1])), axis=0)
+        return df.add(y, t), None
+
+    zero = jnp.zeros(A.shape[0], jnp.float32)
+    y, _ = jax.lax.scan(
+        body, df.DF(zero, zero), (A.main_data, A.main_indices, xsegs)
+    )
+    if A.tail_data is not None:
+        g = xs[A.tail_indices]
+        a = df.DF(A.tail_data[..., 0], A.tail_data[..., 1])
+        t = df.sum_df(df.mul(a, df.DF(g[..., 0], g[..., 1])), axis=0)
+        pad = jnp.zeros((1, 2), jnp.float32)
+        yt = jnp.concatenate([jnp.stack([t.hi, t.lo], axis=-1), pad])
+        gt = yt[A.tail_pos]
+        y = df.add(y, df.DF(gt[..., 0], gt[..., 1]))
+    return y
+
+
+register_kernel("xla_segscan", seg_ell_scan_spmv, SegELLScan)
+register_kernel("xla_segscan_df", seg_ell_scan_spmv_df, SegELLScan, dfloat=True)

@@ -227,3 +227,74 @@ def test_seg_bucket_ell_df_matches_dense(rng):
     rows = np.repeat(np.arange(shape[0]), np.diff(indptr))
     dense[rows, indices] = data
     np.testing.assert_allclose(y, dense @ x, rtol=1e-13, atol=1e-13)
+
+
+def test_seg_ell_scan_matches_dense(rng):
+    from lilac_tpu.formats.convert import csr_to_seg_ell_scan
+    from lilac_tpu.kernels.xla import seg_ell_scan_spmv
+    from tests.conftest import random_csr
+
+    (indptr, indices, data), shape = random_csr(rng, 200, 200, 0.05)
+    # small segment + low quantile forces multi-segment AND a tail
+    A = csr_to_seg_ell_scan(indptr, indices, data, shape, seg_size=64, seg_quantile=70.0)
+    assert A.nseg == 4
+    assert A.tail_data is not None
+    x = rng.normal(size=shape[1])
+    y = np.asarray(seg_ell_scan_spmv(A, jnp.asarray(x)))
+    dense = np.zeros(shape)
+    rows = np.repeat(np.arange(shape[0]), np.diff(indptr))
+    dense[rows, indices] = data
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_seg_ell_scan_no_tail(rng):
+    from lilac_tpu.formats.convert import csr_to_seg_ell_scan
+    from lilac_tpu.kernels.xla import seg_ell_scan_spmv
+    from tests.conftest import random_csr
+
+    (indptr, indices, data), shape = random_csr(rng, 100, 100, 0.05)
+    A = csr_to_seg_ell_scan(indptr, indices, data, shape, seg_size=40, seg_quantile=100.0)
+    assert A.tail_data is None
+    x = rng.normal(size=shape[1])
+    y = np.asarray(seg_ell_scan_spmv(A, jnp.asarray(x)))
+    dense = np.zeros(shape)
+    rows = np.repeat(np.arange(shape[0]), np.diff(indptr))
+    dense[rows, indices] = data
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_seg_ell_scan_df_matches_dense(rng):
+    from lilac_tpu.formats.convert import csr_to_seg_ell_scan
+    from lilac_tpu.kernels.xla import seg_ell_scan_spmv_df
+    from tests.conftest import random_csr
+
+    (indptr, indices, data), shape = random_csr(rng, 150, 150, 0.06)
+    hi = data.astype(np.float32)
+    lo = (data - hi.astype(np.float64)).astype(np.float32)
+    vals = np.stack([hi, lo], axis=-1)
+    A = csr_to_seg_ell_scan(indptr, indices, vals, shape, seg_size=50, seg_quantile=80.0)
+    x = rng.normal(size=shape[1])
+    y = df.to_f64(seg_ell_scan_spmv_df(A, df.from_f64(x)))
+    dense = np.zeros(shape)
+    rows = np.repeat(np.arange(shape[0]), np.diff(indptr))
+    dense[rows, indices] = data
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-13, atol=1e-13)
+
+
+def test_factored_scan_mode_matches_single_seg(monkeypatch):
+    """Factored NPB operator: scan-segmented build == single-segment build."""
+    from lilac_tpu.kernels import factored as kf
+
+    monkeypatch.setenv("LILAC_FACTORED_SEGMODE", "single")
+    A1, _ = kf.build_factored("S", dtype="f64")
+    monkeypatch.setenv("LILAC_FACTORED_SEGMODE", "scan")
+    monkeypatch.setattr(kf, "SEG_SIZE", 500)  # force multi-segment on class S
+    A2, _ = kf.build_factored("S", dtype="f64")
+    from lilac_tpu.formats.sparse import SegELLScan
+
+    assert isinstance(A2.V, SegELLScan) and A2.V.nseg > 1
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=A1.s.shape[0]))
+    y1 = np.asarray(kf.factored_spmv(A1, x))
+    y2 = np.asarray(kf.factored_spmv(A2, x))
+    np.testing.assert_allclose(y1, y2, rtol=1e-12, atol=1e-12)
