@@ -31,6 +31,7 @@ def main(argv=None):
 
     pf = sub.add_parser("spmv-roofline")  # per-chip nnz/s + GB/s vs ceiling
     pf.add_argument("--sizes", default="20,40,60")
+    pf.add_argument("--kernels", default="auto,routed")
 
     args = p.parse_args(argv)
     if args.cmd == "devices":
@@ -69,33 +70,37 @@ def main(argv=None):
         print(f"device: {jax.devices()[0]}  HBM ceiling {spec['hbm_gbps']} GB/s")
         for size in map(int, args.sizes.split(",")):
             indptr, indices, data, shape = random_crs(size, seed=1)
-            plan = SpmvPlan(indptr, indices, data, shape, dtype="f32")
-            x = plan.vec_in(np.random.default_rng(0).normal(size=shape[1]))
-            reps = 50
+            for kernel in args.kernels.split(","):
+                if kernel.startswith("routed") and shape[1] > (1 << 18):
+                    print(f"  n={shape[0]:>8d} kernel={kernel}: skipped (ncol > 2^18)")
+                    continue
+                plan = SpmvPlan(indptr, indices, data, shape, dtype="f32", kernel=kernel)
+                x = plan.vec_in(np.random.default_rng(0).normal(size=shape[1]))
+                reps = 50
 
-            @jax.jit
-            def chain(A, v):
-                def body(_, vv):
-                    return plan.matvec_with(A, vv)
+                @jax.jit
+                def chain(A, v):
+                    def body(_, vv):
+                        return plan.matvec_with(A, vv)
 
-                return jax.lax.fori_loop(0, reps, body, v)
+                    return jax.lax.fori_loop(0, reps, body, v)
 
-            y = chain(plan.A, x)
-            import jax.numpy as jnp
+                y = chain(plan.A, x)
+                import jax.numpy as jnp
 
-            _ = float(jnp.ravel(jax.tree_util.tree_leaves(y)[0])[0])
-            t0 = time.perf_counter()
-            y = chain(plan.A, x)
-            _ = float(jnp.ravel(jax.tree_util.tree_leaves(y)[0])[0])
-            t = (time.perf_counter() - t0) / reps
-            # bytes: values + indices + gathered x + written y
-            bytes_moved = plan.nnz * (4 + 4 + 4) + shape[0] * 4
-            r = roofline(bytes_moved, 2.0 * plan.nnz, t)
-            print(
-                f"  n={shape[0]:>8d} nnz={plan.nnz:>9d} kernel={plan.kernel:9s}"
-                f" {t*1e3:7.3f} ms  {plan.nnz/t/1e6:8.1f} Mnnz/s"
-                f"  {r['gbps']:6.1f} GB/s ({r['frac_hbm']:.1%} of HBM roofline)"
-            )
+                _ = float(jnp.ravel(jax.tree_util.tree_leaves(y)[0])[0])
+                t0 = time.perf_counter()
+                y = chain(plan.A, x)
+                _ = float(jnp.ravel(jax.tree_util.tree_leaves(y)[0])[0])
+                t = (time.perf_counter() - t0) / reps
+                # bytes: values + indices + gathered x + written y
+                bytes_moved = plan.nnz * (4 + 4 + 4) + shape[0] * 4
+                r = roofline(bytes_moved, 2.0 * plan.nnz, t)
+                print(
+                    f"  n={shape[0]:>8d} nnz={plan.nnz:>9d} kernel={plan.kernel:9s}"
+                    f" {t*1e3:7.3f} ms  {plan.nnz/t/1e6:8.1f} Mnnz/s"
+                    f"  {r['gbps']:6.1f} GB/s ({r['frac_hbm']:.1%} of HBM roofline)"
+                )
         return 0
     if args.cmd == "run":
         row = bench.run_bench(

@@ -88,12 +88,57 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
     from lilac_tpu.formats.convert import csr_to_seg_ell_scan
 
     mode = _os.environ.get("LILAC_FACTORED_SEGMODE", "auto")
-    use_scan = n > SEG_SIZE if mode == "auto" else mode == "scan"
+    if mode == "auto":
+        # routed networks need the whole x table in one VMEM-resident net
+        # (n <= 2^18); beyond that fall back to the single-segment layout.
+        # CPU runs (tests) keep the gather path: interpret-mode Pallas is
+        # orders of magnitude slower than XLA's CPU gather.
+        import jax as _jax
+
+        mode = "routed" if _jax.default_backend() != "cpu" else "single"
+    use_scan = mode == "scan"
     squant = float(_os.environ.get("LILAC_SEG_QUANTILE", "97"))
 
     v_ip, v_ix, v_v = coo_to_csr_arrays(rows_i, pos_j, vc, (n, n), sum_duplicates=False)
     t_ip, t_ix, t_v = coo_to_csr_arrays(pos_j, rows_i, vc, (n, n), sum_duplicates=False)
-    if use_scan:
+    if mode == "routed":
+        from lilac_tpu.kernels.routed_spmv import (
+            build_routed_csr,
+            build_routed_csr_seg,
+            load_routed,
+            save_routed,
+        )
+
+        cache_dir = _os.environ.get(
+            "LILAC_DATA_DIR",
+            _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__)))), "data"),
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        V = VT = None
+        paths = [
+            _os.path.join(cache_dir, f"routed_{cls.name}_{dtype}_{t}.npz")
+            for t in ("V", "VT")
+        ]
+        if all(_os.path.exists(p) for p in paths):
+            try:
+                V, VT = load_routed(paths[0]), load_routed(paths[1])
+            except Exception:
+                V = VT = None
+        if V is None or VT is None:
+            if n <= (1 << 18):
+                V = build_routed_csr(v_ip, v_ix, v_v, (n, n), dtype=dtype)
+                VT = build_routed_csr(t_ip, t_ix, t_v, (n, n), dtype=dtype)
+            else:
+                V = build_routed_csr_seg(
+                    v_ip, v_ix, v_v, (n, n), dtype=dtype, verbose=True
+                )
+                VT = build_routed_csr_seg(
+                    t_ip, t_ix, t_v, (n, n), dtype=dtype, verbose=True
+                )
+            save_routed(paths[0], V)
+            save_routed(paths[1], VT)
+    elif use_scan:
         V = csr_to_seg_ell_scan(
             v_ip, v_ix, to_vals(v_v), (n, n), seg_size=SEG_SIZE, seg_quantile=squant
         )
@@ -125,16 +170,36 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
 
 
 def _spmv_any(A, x):
+    from lilac_tpu.kernels.routed_spmv import (
+        RoutedMat,
+        RoutedMatSeg,
+        routed_seg_spmv,
+        routed_spmv,
+    )
     from lilac_tpu.kernels.xla import seg_bucket_ell_spmv, seg_ell_scan_spmv
 
+    if isinstance(A, RoutedMat):
+        return routed_spmv(A, x)
+    if isinstance(A, RoutedMatSeg):
+        return routed_seg_spmv(A, x)
     if isinstance(A, SegELLScan):
         return seg_ell_scan_spmv(A, x)
     return seg_bucket_ell_spmv(A, x)
 
 
 def _spmv_any_df(A, x):
+    from lilac_tpu.kernels.routed_spmv import (
+        RoutedMat,
+        RoutedMatSeg,
+        routed_seg_spmv_df,
+        routed_spmv_df,
+    )
     from lilac_tpu.kernels.xla import seg_bucket_ell_spmv_df, seg_ell_scan_spmv_df
 
+    if isinstance(A, RoutedMat):
+        return routed_spmv_df(A, x)
+    if isinstance(A, RoutedMatSeg):
+        return routed_seg_spmv_df(A, x)
     if isinstance(A, SegELLScan):
         return seg_ell_scan_spmv_df(A, x)
     return seg_bucket_ell_spmv_df(A, x)

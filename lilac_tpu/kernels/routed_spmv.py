@@ -1,0 +1,473 @@
+"""SpMV through plan-time routing networks (the roofline kernel).
+
+Pipeline per matvec: pad x into the network input slots ([m] = [R, 128]
+planes), run every row-chunk's gather network in one Pallas program
+(kernels/routed.py, ~0.2 ns/gathered element measured on v5e vs 1.4-5.3
+ns/elem for XLA's gather engine), then multiply by the values — pre-
+arranged at PLAN time into the routed slot order — and reduce each
+chunk's [rows_c, K_c] block in XLA (elementwise + K-axis reduction, HBM-
+bandwidth bound).
+
+Rows are chunked after sorting by row length (descending), so each chunk
+pads to its own max length (the JDS/SELL idea re-shaped for routing:
+padding costs network slots, and chunk count = ceil(nnz_chunk / m)); the
+row order is restored by one [n]-sized pair-gather at the end. Matrices
+with near-uniform rows skip the sort entirely.
+
+Single column segment: requires ncols <= m (the network input table holds
+all of x). Column-segmented stacking for matrices beyond one table is
+built on top (kernels/factored.py wires the NPB operator through this).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lilac_tpu.kernels import routed as rd
+from lilac_tpu.kernels import routenet as rn
+from lilac_tpu.ops import dfloat as df
+
+
+@dataclasses.dataclass
+class RoutedMat:
+    """One sparse matrix staged as routing networks + slot-ordered values.
+
+    vals: [B, m] (or [B, m, 2] df64) values in routed slot order — chunk
+          c's term t = r_local * K_c + k sits at vals[c, t]
+    chunks: static ((rows_c, K_c), ...) per network
+    inv_perm: [n] int32 mapping original row -> position in the
+              chunk-concatenated output; None = natural order
+    """
+
+    masks: jax.Array  # [B, S, R, 128] int8
+    vals: jax.Array
+    kinds: Tuple[str, ...]
+    dists: Tuple[int, ...]
+    chunks: Tuple[Tuple[int, int], ...]
+    inv_perm: Optional[jax.Array]
+    shape: Tuple[int, int]
+    m: int
+
+
+jax.tree_util.register_dataclass(
+    RoutedMat,
+    data_fields=["masks", "vals", "inv_perm"],
+    meta_fields=["kinds", "dists", "chunks", "shape", "m"],
+)
+
+
+def _pow2_at_least(x: int) -> int:
+    return 1 << int(np.ceil(np.log2(max(x, 2))))
+
+
+def build_routed_csr(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    shape: Tuple[int, int],
+    *,
+    dtype: str = "f32",
+    m: int | None = None,
+    sort_rows="auto",
+    verbose: bool = False,
+) -> RoutedMat:
+    """Stage a host CSR matrix as a RoutedMat (single column segment).
+
+    m: network size (power of two multiple of 1024, >= ncols and >= the
+    longest row; default = smallest such, capped structure-side by the
+    caller).
+    """
+    n, ncol = shape
+    counts = np.diff(indptr).astype(np.int64)
+    kmax = int(counts.max()) if n else 1
+    if m is None:
+        m = max(1024, _pow2_at_least(max(ncol, kmax)))
+    assert m >= ncol and m >= kmax and m % 1024 == 0
+
+    if sort_rows == "auto":
+        sort_rows = bool(kmax > 1.25 * max(counts.mean(), 1.0) + 2)
+    order = np.argsort(-counts, kind="stable") if sort_rows else np.arange(n)
+
+    # greedy chunks over (sorted) rows: each chunk's K = its max length
+    chunks = []
+    i0 = 0
+    while i0 < n:
+        k_c = max(int(counts[order[i0]]), 1)
+        rows_c = min(m // k_c, n - i0)
+        chunks.append((i0, rows_c, k_c))
+        i0 += rows_c
+    B = len(chunks)
+
+    # vectorized slot assignment: entry e of row r -> (chunk_of[r],
+    # r_local[r] * K_chunk + slot_in_row[e])
+    chunk_of = np.empty(n, dtype=np.int64)
+    r_local = np.empty(n, dtype=np.int64)
+    k_of_chunk = np.empty(B, dtype=np.int64)
+    for b, (i0, rows_c, k_c) in enumerate(chunks):
+        chunk_of[order[i0 : i0 + rows_c]] = b
+        r_local[order[i0 : i0 + rows_c]] = np.arange(rows_c)
+        k_of_chunk[b] = k_c
+    rows_rep = np.repeat(np.arange(n), counts)
+    slot_in_row = np.arange(len(indices)) - np.repeat(indptr[:-1], counts)
+    b_e = chunk_of[rows_rep]
+    t_e = r_local[rows_rep] * k_of_chunk[b_e] + slot_in_row
+
+    idx_all = np.zeros((B, m), dtype=np.int64)
+    idx_all[b_e, t_e] = indices
+    if dtype == "df64":
+        hi = data.astype(np.float32)
+        lo = (data - hi.astype(np.float64)).astype(np.float32)
+        dvals = np.stack([hi, lo], axis=-1)
+    else:
+        dvals = data.astype({"f32": np.float32, "f64": np.float64}[dtype])
+    vals = np.zeros((B, m) + dvals.shape[1:], dtype=dvals.dtype)
+    vals[b_e, t_e] = dvals
+
+    net = rn.build_gather_network(idx_all, ncol, m)
+    if verbose:
+        print(
+            f"routed: n={n} m={m} chunks={B} stages={len(net.kinds)} "
+            f"masks={net.masks.nbytes / 1e6:.0f}MB(bool)"
+        )
+    if sort_rows:
+        inv_perm = np.empty(n, dtype=np.int64)
+        inv_perm[order] = np.arange(n)
+        inv = jnp.asarray(inv_perm, dtype=jnp.int32)
+    else:
+        inv = None
+    return RoutedMat(
+        masks=rd.masks_device(net),
+        vals=jnp.asarray(vals),
+        kinds=net.kinds,
+        dists=net.dists,
+        chunks=tuple((rc, kc) for _, rc, kc in chunks),
+        inv_perm=inv,
+        shape=tuple(shape),
+        m=m,
+    )
+
+
+# ---------------------------------------------------------------------------
+# matvecs
+# ---------------------------------------------------------------------------
+
+
+def _pad_plane(x: jax.Array, m: int) -> jax.Array:
+    return jnp.pad(x, (0, m - x.shape[0])).reshape(m // 128, 128)
+
+
+def routed_spmv(A: RoutedMat, x: jax.Array, *, interpret: bool = False) -> jax.Array:
+    (out,) = rd.routed_apply(
+        [_pad_plane(x.astype(A.vals.dtype), A.m)],
+        A.masks,
+        A.kinds,
+        A.dists,
+        interpret=interpret,
+    )
+    prod = A.vals * out.reshape(len(A.chunks), A.m)
+    parts = []
+    for c, (rows_c, k_c) in enumerate(A.chunks):
+        parts.append(jnp.sum(prod[c, : rows_c * k_c].reshape(rows_c, k_c), axis=1))
+    y = jnp.concatenate(parts)
+    if A.inv_perm is not None:
+        from lilac_tpu.kernels.xla import pair_gather
+
+        y = pair_gather(y, A.inv_perm)
+    return y[: A.shape[0]]
+
+
+def routed_spmv_df(A: RoutedMat, x: df.DF, *, interpret: bool = False) -> df.DF:
+    oh, ol = rd.routed_apply(
+        [_pad_plane(x.hi, A.m), _pad_plane(x.lo, A.m)],
+        A.masks,
+        A.kinds,
+        A.dists,
+        interpret=interpret,
+    )
+    B = len(A.chunks)
+    a = df.DF(A.vals[..., 0], A.vals[..., 1])
+    prod = df.mul(a, df.DF(oh.reshape(B, A.m), ol.reshape(B, A.m)))
+    his, los = [], []
+    for c, (rows_c, k_c) in enumerate(A.chunks):
+        t = df.sum_df(
+            df.DF(
+                prod.hi[c, : rows_c * k_c].reshape(rows_c, k_c),
+                prod.lo[c, : rows_c * k_c].reshape(rows_c, k_c),
+            ),
+            axis=1,
+        )
+        his.append(t.hi)
+        los.append(t.lo)
+    hi = jnp.concatenate(his)
+    lo = jnp.concatenate(los)
+    if A.inv_perm is not None:
+        ys = jnp.stack([hi, lo], axis=-1)
+        g = ys[A.inv_perm]
+        return df.DF(g[: A.shape[0], 0], g[: A.shape[0], 1])
+    return df.DF(hi[: A.shape[0]], lo[: A.shape[0]])
+
+
+# ---------------------------------------------------------------------------
+# column-segmented routing (matrices whose x exceeds one network table)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class RoutedMatSeg:
+    """Column-segmented RoutedMat: one network group per column segment.
+
+    All segments share ONE global row order (descending total degree) so
+    their chunk-concatenated partial sums align; y accumulates across
+    segments in sorted order and a single [n] pair-gather restores the
+    natural order at the end (per-segment orders would need one n-sized
+    un-permute EACH — measured 5.3 ns/elem on >3MB tables, which would
+    cancel the routing win at class-D scale).
+    """
+
+    masks: tuple  # per-seg [B_s, P_s, R, 128] int8
+    vals: tuple  # per-seg [B_s, m] (or [.., 2])
+    kinds: Tuple[Tuple[str, ...], ...]
+    dists: Tuple[Tuple[int, ...], ...]
+    chunks: Tuple[Tuple[Tuple[int, int], ...], ...]
+    inv_perm: Optional[jax.Array]
+    shape: Tuple[int, int]
+    m: int
+    seg_size: int
+
+
+jax.tree_util.register_dataclass(
+    RoutedMatSeg,
+    data_fields=["masks", "vals", "inv_perm"],
+    meta_fields=["kinds", "dists", "chunks", "shape", "m", "seg_size"],
+)
+
+
+def build_routed_csr_seg(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    shape: Tuple[int, int],
+    *,
+    dtype: str = "f32",
+    seg_size: int = 1 << 18,
+    verbose: bool = False,
+) -> RoutedMatSeg:
+    """Stage a host CSR as column-segmented routing networks."""
+    n, ncol = shape
+    m = seg_size
+    nseg = -(-ncol // seg_size)
+    counts = np.diff(indptr).astype(np.int64)
+    order = np.argsort(-counts, kind="stable")
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+
+    if dtype == "df64":
+        hi = data.astype(np.float32)
+        lo = (data - hi.astype(np.float64)).astype(np.float32)
+        dvals = np.stack([hi, lo], axis=-1)
+    else:
+        dvals = data.astype({"f32": np.float32, "f64": np.float64}[dtype])
+
+    rows_rep = np.repeat(np.arange(n), counts)
+    seg_of = indices // seg_size
+    # per (row, seg) counts and within-run slots (entries column-sorted)
+    rs_counts = np.zeros((n, nseg), dtype=np.int64)
+    np.add.at(rs_counts, (rows_rep, seg_of), 1)
+    run_key = rows_rep * nseg + seg_of
+    run_start = np.zeros(len(indices), dtype=bool)
+    if len(indices):
+        run_start[0] = True
+        run_start[1:] = run_key[1:] != run_key[:-1]
+    run_id = np.cumsum(run_start) - 1
+    first_of_run = np.zeros(run_id[-1] + 1 if len(indices) else 0, dtype=np.int64)
+    first_of_run[run_id[run_start]] = np.nonzero(run_start)[0]
+    slot_in_run = np.arange(len(indices)) - first_of_run[run_id]
+
+    seg_masks, seg_vals, seg_kinds, seg_dists, seg_chunks = [], [], [], [], []
+    for s in range(nseg):
+        cs = rs_counts[order, s]  # per-row seg counts in GLOBAL sorted order
+        # greedy chunks over the shared order; K = max count inside chunk
+        # (counts are NOT monotone in this order — scan for the max)
+        chunks = []
+        i0 = 0
+        while i0 < n:
+            k_c = max(int(cs[i0]), 1)
+            rows_c = min(m // k_c, n - i0)
+            k_true = int(cs[i0 : i0 + rows_c].max())
+            if k_true > k_c:
+                rows_c = min(m // k_true, n - i0)
+                k_c = int(cs[i0 : i0 + rows_c].max())
+            else:
+                k_c = k_true if k_true else 1
+            chunks.append((i0, rows_c, k_c))
+            i0 += rows_c
+        B = len(chunks)
+        chunk_of = np.empty(n, dtype=np.int64)
+        r_local = np.empty(n, dtype=np.int64)
+        k_of_chunk = np.empty(B, dtype=np.int64)
+        for b, (i0, rows_c, k_c) in enumerate(chunks):
+            chunk_of[order[i0 : i0 + rows_c]] = b
+            r_local[order[i0 : i0 + rows_c]] = np.arange(rows_c)
+            k_of_chunk[b] = k_c
+        sel = seg_of == s
+        rr = rows_rep[sel]
+        b_e = chunk_of[rr]
+        t_e = r_local[rr] * k_of_chunk[b_e] + slot_in_run[sel]
+        idx_all = np.zeros((B, m), dtype=np.int64)
+        idx_all[b_e, t_e] = indices[sel] - s * seg_size
+        vals = np.zeros((B, m) + dvals.shape[1:], dtype=dvals.dtype)
+        vals[b_e, t_e] = dvals[sel]
+        net = rn.build_gather_network(idx_all, min(seg_size, ncol - s * seg_size), m)
+        if verbose:
+            print(
+                f"  seg {s}: chunks={B} stages={len(net.kinds)} "
+                f"masks={net.masks.nbytes / 1e6:.0f}MB(bool)", flush=True,
+            )
+        seg_masks.append(rd.masks_device(net))
+        seg_vals.append(jnp.asarray(vals))
+        seg_kinds.append(net.kinds)
+        seg_dists.append(net.dists)
+        seg_chunks.append(tuple((rc, kc) for _, rc, kc in chunks))
+
+    return RoutedMatSeg(
+        masks=tuple(seg_masks),
+        vals=tuple(seg_vals),
+        kinds=tuple(seg_kinds),
+        dists=tuple(seg_dists),
+        chunks=tuple(seg_chunks),
+        inv_perm=jnp.asarray(rank, dtype=jnp.int32),
+        shape=tuple(shape),
+        m=m,
+        seg_size=seg_size,
+    )
+
+
+def _chunk_reduce(prod_flat, chunks, m):
+    parts = []
+    for c, (rows_c, k_c) in enumerate(chunks):
+        parts.append(jnp.sum(prod_flat[c, : rows_c * k_c].reshape(rows_c, k_c), axis=1))
+    return jnp.concatenate(parts)
+
+
+def routed_seg_spmv(A: RoutedMatSeg, x: jax.Array, *, interpret: bool = False) -> jax.Array:
+    n = A.shape[0]
+    y = None
+    for s in range(len(A.masks)):
+        lo_c = s * A.seg_size
+        xs = jax.lax.dynamic_slice_in_dim(
+            jnp.pad(x, (0, A.m * len(A.masks) - x.shape[0])), lo_c, A.m, 0
+        )
+        (out,) = rd.routed_apply(
+            [xs.reshape(A.m // 128, 128)], A.masks[s], A.kinds[s], A.dists[s],
+            interpret=interpret,
+        )
+        t = _chunk_reduce(A.vals[s] * out.reshape(len(A.chunks[s]), A.m), A.chunks[s], A.m)
+        y = t if y is None else y + t
+    from lilac_tpu.kernels.xla import pair_gather
+
+    return pair_gather(y, A.inv_perm)
+
+
+def routed_seg_spmv_df(A: RoutedMatSeg, x: df.DF, *, interpret: bool = False) -> df.DF:
+    y = None
+    npad = A.m * len(A.masks)
+    xh = jnp.pad(x.hi, (0, npad - x.hi.shape[0]))
+    xl = jnp.pad(x.lo, (0, npad - x.lo.shape[0]))
+    for s in range(len(A.masks)):
+        lo_c = s * A.seg_size
+        hs = jax.lax.dynamic_slice_in_dim(xh, lo_c, A.m, 0).reshape(A.m // 128, 128)
+        ls = jax.lax.dynamic_slice_in_dim(xl, lo_c, A.m, 0).reshape(A.m // 128, 128)
+        oh, ol = rd.routed_apply(
+            [hs, ls], A.masks[s], A.kinds[s], A.dists[s], interpret=interpret
+        )
+        B = len(A.chunks[s])
+        a = df.DF(A.vals[s][..., 0], A.vals[s][..., 1])
+        prod = df.mul(a, df.DF(oh.reshape(B, A.m), ol.reshape(B, A.m)))
+        his, los = [], []
+        for c, (rows_c, k_c) in enumerate(A.chunks[s]):
+            t = df.sum_df(
+                df.DF(
+                    prod.hi[c, : rows_c * k_c].reshape(rows_c, k_c),
+                    prod.lo[c, : rows_c * k_c].reshape(rows_c, k_c),
+                ),
+                axis=1,
+            )
+            his.append(t.hi)
+            los.append(t.lo)
+        t = df.DF(jnp.concatenate(his), jnp.concatenate(los))
+        # every segment contributes to every row: compensated df add keeps
+        # the (hi, lo) pair non-overlapping across the segment merge
+        y = t if y is None else df.add(y, t)
+    ys = jnp.stack([y.hi, y.lo], axis=-1)
+    g = ys[A.inv_perm]
+    return df.DF(g[..., 0], g[..., 1])
+
+
+# ---------------------------------------------------------------------------
+# plan cache (network construction is one-time host work worth persisting,
+# the same discipline as the generator's matrix cache — SURVEY.md section 5)
+# ---------------------------------------------------------------------------
+
+_CACHE_VERSION = 1
+
+
+def save_routed(path: str, M) -> None:
+    import numpy as _np
+
+    kv = {"version": _CACHE_VERSION, "cls": type(M).__name__,
+          "shape": _np.asarray(M.shape), "m": M.m}
+    if isinstance(M, RoutedMat):
+        kv.update(
+            masks=_np.asarray(M.masks), vals=_np.asarray(M.vals),
+            kinds=_np.array(M.kinds), dists=_np.asarray(M.dists),
+            chunks=_np.asarray(M.chunks),
+            inv_perm=_np.asarray(M.inv_perm) if M.inv_perm is not None else _np.zeros(0, _np.int32),
+        )
+    else:
+        kv["seg_size"] = M.seg_size
+        kv["nseg"] = len(M.masks)
+        kv["inv_perm"] = _np.asarray(M.inv_perm)
+        for s in range(len(M.masks)):
+            kv[f"masks{s}"] = _np.asarray(M.masks[s])
+            kv[f"vals{s}"] = _np.asarray(M.vals[s])
+            kv[f"kinds{s}"] = _np.array(M.kinds[s])
+            kv[f"dists{s}"] = _np.asarray(M.dists[s])
+            kv[f"chunks{s}"] = _np.asarray(M.chunks[s])
+    _np.savez(path, **kv)
+
+
+def load_routed(path: str):
+    import numpy as _np
+
+    z = _np.load(path, allow_pickle=False)
+    if int(z["version"]) != _CACHE_VERSION:
+        return None
+    shape = tuple(int(v) for v in z["shape"])
+    m = int(z["m"])
+    if str(z["cls"]) == "RoutedMat":
+        inv = z["inv_perm"]
+        return RoutedMat(
+            masks=jnp.asarray(z["masks"]), vals=jnp.asarray(z["vals"]),
+            kinds=tuple(str(k) for k in z["kinds"]),
+            dists=tuple(int(d) for d in z["dists"]),
+            chunks=tuple((int(a), int(b)) for a, b in z["chunks"]),
+            inv_perm=jnp.asarray(inv) if len(inv) else None,
+            shape=shape, m=m,
+        )
+    nseg = int(z["nseg"])
+    return RoutedMatSeg(
+        masks=tuple(jnp.asarray(z[f"masks{s}"]) for s in range(nseg)),
+        vals=tuple(jnp.asarray(z[f"vals{s}"]) for s in range(nseg)),
+        kinds=tuple(tuple(str(k) for k in z[f"kinds{s}"]) for s in range(nseg)),
+        dists=tuple(tuple(int(d) for d in z[f"dists{s}"]) for s in range(nseg)),
+        chunks=tuple(
+            tuple((int(a), int(b)) for a, b in z[f"chunks{s}"]) for s in range(nseg)
+        ),
+        inv_perm=jnp.asarray(z["inv_perm"]),
+        shape=shape, m=m, seg_size=int(z["seg_size"]),
+    )

@@ -45,19 +45,25 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
-def _two_color_batched(nbr_a: np.ndarray, nbr_b: np.ndarray) -> np.ndarray:
+def _two_color_batched(
+    nbr_a: np.ndarray, nbr_b: np.ndarray, max_cycle: int | None = None
+) -> np.ndarray:
     """2-color the union of two perfect matchings on [B, m] arrays of
     LOCAL neighbor indices (each row independent; cycles never cross rows).
 
     Returns color[B, m] in {0, 1} with color[e] != color[nbr_a[e]] and
     color[e] != color[nbr_b[e]] (even cycles guarantee 2-colorability).
+    max_cycle bounds the cycle length (the Beneš block size), limiting
+    the pointer-jumping rounds at deep recursion levels.
     """
     B, m = nbr_a.shape
+    if max_cycle is None:
+        max_cycle = m
     rows = np.arange(B)[:, None]
     step = nbr_b[rows, nbr_a]  # even-distance walk: preserves orbit
     leader = np.broadcast_to(np.arange(m), (B, m)).copy()
     hop = step.copy()
-    for _ in range(int(np.ceil(np.log2(max(m, 2)))) + 1):
+    for _ in range(int(np.ceil(np.log2(max(max_cycle, 2)))) + 1):
         leader = np.minimum(leader, leader[rows, hop])
         hop = hop[rows, hop]
     # orbit(e) and orbit(nbr_a[e]) partition each cycle; compare leaders
@@ -96,7 +102,7 @@ def benes_route_batched(perm: np.ndarray) -> List[Tuple[int, np.ndarray]]:
         np.put_along_axis(inv, base + cur, e_loc, axis=1)
         nbr_in = base + (e_loc ^ h)
         nbr_out = base + inv[rows, base + ((cur + h) & (ml - 1))]
-        color = _two_color_batched(nbr_in, nbr_out)
+        color = _two_color_batched(nbr_in, nbr_out, max_cycle=ml)
         # even-cycle 2-coloring is always consistent (leader comparison
         # flips across both matchings); assert rather than silently
         # mis-route if an invariant is ever violated

@@ -87,6 +87,14 @@ class SpmvPlan:
             lo = (data - hi.astype(np.float64)).astype(np.float32)
             vals = np.stack([hi, lo], axis=-1)
             self.A = convert.bucket_ell_device(indptr, indices, vals, shape)
+        elif kernel in ("routed", "routed_df"):
+            from lilac_tpu.kernels.routed_spmv import build_routed_csr
+
+            vdt = "df64" if (dtype == "df64" or kernel == "routed_df") else (
+                "f64" if dtype == "f64" else "f32"
+            )
+            self.A = build_routed_csr(indptr, indices, data, shape, dtype=vdt)
+            self.kernel = kernel = "routed_df" if vdt == "df64" else "routed"
         else:
             raise ValueError(f"kernel {kernel!r} not wired into SpmvPlan yet")
 
@@ -137,6 +145,14 @@ class SpmvPlan:
             return _xla.bucket_ell_spmv(A, x)
         if self.kernel == "xla_sell_df":
             return _xla.bucket_ell_spmv_df(A, x)
+        if self.kernel == "routed":
+            from lilac_tpu.kernels.routed_spmv import routed_spmv
+
+            return routed_spmv(A, x)
+        if self.kernel == "routed_df":
+            from lilac_tpu.kernels.routed_spmv import routed_spmv_df
+
+            return routed_spmv_df(A, x)
         raise ValueError(self.kernel)
 
     def matvec_t_with(self, A, x):

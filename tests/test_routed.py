@@ -63,3 +63,94 @@ def test_routed_apply_two_planes(rng):
     np.testing.assert_array_equal(
         np.asarray(ol).reshape(2, -1)[:, :T], lo[idx]
     )
+
+
+def _random_csr_spread(rng, n, ncol, mean_nnz):
+    import scipy.sparse as sp
+
+    counts = np.clip(rng.poisson(mean_nnz, size=n), 1, ncol)
+    rows = np.repeat(np.arange(n), counts)
+    cols = np.concatenate([rng.choice(ncol, size=c, replace=False) for c in counts])
+    vals = rng.normal(size=len(rows))
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(n, ncol))
+    A.sum_duplicates()
+    return A
+
+
+def test_routed_spmv_matches_oracle(rng):
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed_spmv as rs
+
+    A = _random_csr_spread(rng, 700, 900, 6.0)
+    M = rs.build_routed_csr(
+        A.indptr, A.indices, A.data, A.shape, dtype="f32", m=1024
+    )
+    assert len(M.chunks) > 1
+    x = rng.normal(size=A.shape[1]).astype(np.float32)
+    y = np.asarray(rs.routed_spmv(M, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y, A @ x.astype(np.float64), rtol=2e-5, atol=2e-5)
+
+
+def test_routed_spmv_uniform_rows_no_sort(rng):
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from lilac_tpu.kernels import routed_spmv as rs
+
+    n, ncol, k = 300, 800, 5
+    cols = np.stack([rng.choice(ncol, size=k, replace=False) for _ in range(n)])
+    vals = rng.normal(size=(n, k))
+    A = sp.csr_matrix(
+        (vals.ravel(), cols.ravel(), np.arange(0, n * k + 1, k)), shape=(n, ncol)
+    )
+    M = rs.build_routed_csr(A.indptr, A.indices, A.data, A.shape, dtype="f32")
+    assert M.inv_perm is None
+    x = rng.normal(size=ncol).astype(np.float32)
+    y = np.asarray(rs.routed_spmv(M, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y, A @ x.astype(np.float64), rtol=2e-5, atol=2e-5)
+
+
+def test_routed_spmv_df_matches_oracle(rng):
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed_spmv as rs
+    from lilac_tpu.ops import dfloat as df
+
+    A = _random_csr_spread(rng, 500, 600, 8.0)
+    M = rs.build_routed_csr(
+        A.indptr, A.indices, A.data, A.shape, dtype="df64", m=1024
+    )
+    x = rng.normal(size=A.shape[1])
+    y = df.to_f64(rs.routed_spmv_df(M, df.from_f64(x), interpret=True))
+    np.testing.assert_allclose(y, A @ x, rtol=1e-13, atol=1e-13)
+
+
+def test_routed_seg_spmv_matches_oracle(rng):
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed_spmv as rs
+
+    A = _random_csr_spread(rng, 800, 3000, 7.0)  # ncol > seg -> 3 segments
+    M = rs.build_routed_csr_seg(
+        A.indptr, A.indices, A.data, A.shape, dtype="f32", seg_size=1024
+    )
+    assert len(M.masks) == 3
+    x = rng.normal(size=A.shape[1]).astype(np.float32)
+    y = np.asarray(rs.routed_seg_spmv(M, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y, A @ x.astype(np.float64), rtol=2e-5, atol=2e-5)
+
+
+def test_routed_seg_spmv_df_matches_oracle(rng):
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed_spmv as rs
+    from lilac_tpu.ops import dfloat as df
+
+    A = _random_csr_spread(rng, 600, 2500, 6.0)
+    M = rs.build_routed_csr_seg(
+        A.indptr, A.indices, A.data, A.shape, dtype="df64", seg_size=1024
+    )
+    x = rng.normal(size=A.shape[1])
+    y = df.to_f64(rs.routed_seg_spmv_df(M, df.from_f64(x), interpret=True))
+    np.testing.assert_allclose(y, A @ x, rtol=1e-13, atol=1e-13)
