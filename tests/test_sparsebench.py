@@ -173,3 +173,13 @@ def test_precond_ilu0_improves_cg(rng):
     dense[rows, indices] = data
     ref = np.linalg.solve(dense, np.ones(n))
     np.testing.assert_allclose(np.asarray(x_pc), ref, rtol=1e-7, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_large_sizes_against_true_residual_oracle():
+    """Beyond the golden table (sizes 10/20), assert the solver's true
+    residual meets its declared stopping rule on size-40 systems."""
+    from lilac_tpu.workloads import sparsebench as sb
+
+    results = sb.validate_large(sizes=(40,), verbose=False)
+    assert results and all(ok for _, ok, _ in results), results
