@@ -71,9 +71,6 @@ def main(argv=None):
         for size in map(int, args.sizes.split(",")):
             indptr, indices, data, shape = random_crs(size, seed=1)
             for kernel in args.kernels.split(","):
-                if kernel.startswith("routed") and shape[1] > (1 << 18):
-                    print(f"  n={shape[0]:>8d} kernel={kernel}: skipped (ncol > 2^18)")
-                    continue
                 plan = SpmvPlan(indptr, indices, data, shape, dtype="f32", kernel=kernel)
                 x = plan.vec_in(np.random.default_rng(0).normal(size=shape[1]))
                 reps = 50

@@ -130,10 +130,14 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
                 V = build_routed_csr(v_ip, v_ix, v_v, (n, n), dtype=dtype)
                 VT = build_routed_csr(t_ip, t_ix, t_v, (n, n), dtype=dtype)
             else:
-                V = build_routed_csr_seg(
+                # beyond one VMEM table: hierarchical networks (outer
+                # stages as butterfly/window passes, no column segments)
+                from lilac_tpu.kernels.routed_spmv import build_routed_csr_hier
+
+                V = build_routed_csr_hier(
                     v_ip, v_ix, v_v, (n, n), dtype=dtype, verbose=True
                 )
-                VT = build_routed_csr_seg(
+                VT = build_routed_csr_hier(
                     t_ip, t_ix, t_v, (n, n), dtype=dtype, verbose=True
                 )
             save_routed(paths[0], V)
@@ -172,7 +176,9 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
 def _spmv_any(A, x):
     from lilac_tpu.kernels.routed_spmv import (
         RoutedMat,
+        RoutedMatHier,
         RoutedMatSeg,
+        routed_hier_spmv,
         routed_seg_spmv,
         routed_spmv,
     )
@@ -180,6 +186,8 @@ def _spmv_any(A, x):
 
     if isinstance(A, RoutedMat):
         return routed_spmv(A, x)
+    if isinstance(A, RoutedMatHier):
+        return routed_hier_spmv(A, x)
     if isinstance(A, RoutedMatSeg):
         return routed_seg_spmv(A, x)
     if isinstance(A, SegELLScan):
@@ -190,7 +198,9 @@ def _spmv_any(A, x):
 def _spmv_any_df(A, x):
     from lilac_tpu.kernels.routed_spmv import (
         RoutedMat,
+        RoutedMatHier,
         RoutedMatSeg,
+        routed_hier_spmv_df,
         routed_seg_spmv_df,
         routed_spmv_df,
     )
@@ -198,6 +208,8 @@ def _spmv_any_df(A, x):
 
     if isinstance(A, RoutedMat):
         return routed_spmv_df(A, x)
+    if isinstance(A, RoutedMatHier):
+        return routed_hier_spmv_df(A, x)
     if isinstance(A, RoutedMatSeg):
         return routed_seg_spmv_df(A, x)
     if isinstance(A, SegELLScan):

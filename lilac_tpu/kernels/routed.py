@@ -67,7 +67,9 @@ def _routed_kernel(kinds, dists, R, nplanes, *refs):
             masks_hbm.at[b, p], scratch.at[slot], sems.at[slot]
         )
 
-    planes = [r[:] for r in x_refs]
+    # shared-table specs give (R, 128) refs, per-block sliced specs give
+    # (1, R, 128) — normalize after load
+    planes = [r[:].reshape(R, 128) for r in x_refs]
     if S:
         mask_dma(0, 0).start()
     plane_bits = None
@@ -151,3 +153,558 @@ def masks_device(net) -> jax.Array:
     for s in range(S):
         packed[:, s // 8] |= mk[:, s].astype(np.uint8) << (s % 8)
     return jnp.asarray(packed.view(np.int8))
+
+
+# ---------------------------------------------------------------------------
+# hierarchical passes: networks larger than one VMEM block
+# ---------------------------------------------------------------------------
+#
+# A gather network on m > BL elements splits by stage distance:
+#   d <  BL, XOR  -> block-local: inner pass (grid step routes one block of
+#                    the planes entirely in VMEM — the bulk of the depth)
+#   d >= BL, XOR  -> butterfly pass: the 2^g blocks whose indices differ in
+#                    the g stage bits exchange elementwise per group
+#   shift (bcast) -> window pass: block + left neighbor loaded, shift
+#                    stages with cumulative span < BL fused in one pass;
+#                    block-aligned longer shifts get their own pass
+#
+# All passes load inputs through BlockSpecs so Mosaic double-buffers the
+# HBM streams. A butterfly pass writes its 2^g member blocks CONTIGUOUSLY
+# (group-major): the physical block order leaves the pass scrambled, and
+# the NEXT pass's index maps read through the tracked `layout` (logical
+# block -> physical block) — block relayout costs nothing. Inner, window
+# and bigshift passes write natural order (they restore the layout).
+
+
+def _identity_bitmap(nbits):
+    return tuple(range(nbits))
+
+
+def _phys_expr(idx, bitmap):
+    """Physical block index of logical `idx` (traced or int) under a block
+    bit-permutation layout: physical bit k sources logical bit bitmap[k].
+    Pure arithmetic — safe inside BlockSpec index maps."""
+    out = 0
+    for k, srcbit in enumerate(bitmap):
+        out = out + ((idx // (1 << srcbit)) % 2) * (1 << k)
+    return out
+
+
+def routed_apply_sliced(
+    x_planes: Sequence[jax.Array],
+    masks: jax.Array,
+    kinds: Tuple[str, ...],
+    dists: Tuple[int, ...],
+    *,
+    layout: Tuple[int, ...] | None = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Inner pass: grid step b routes logical block b (physical block
+    _phys_expr(b, layout)) of each [mrows, 128] plane; writes natural
+    order. masks [nblocks, P, R, 128] bit-packed (logical block order).
+    `layout` is a block-index bit-permutation (see _phys_expr)."""
+    nblocks, P, R, _ = masks.shape
+    S = len(kinds)
+    assert P == (S + 7) // 8 and S == len(dists)
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    if layout is None:
+        layout = _identity_bitmap(int(np.log2(nblocks)))
+    nplanes = len(x_planes)
+    dtype = x_planes[0].dtype
+    mrows = x_planes[0].shape[0]
+
+    def kern(*refs):
+        x_refs = refs[:nplanes]
+        masks_hbm = refs[nplanes]
+        out_refs = refs[nplanes + 1 : nplanes + 1 + nplanes]
+        scratch, sems = refs[-2], refs[-1]
+        b = pl.program_id(0)
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+        laneid = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+
+        def mask_dma(slot, p):
+            return pltpu.make_async_copy(
+                masks_hbm.at[b, p], scratch.at[slot], sems.at[slot]
+            )
+
+        planes = [r[:] for r in x_refs]
+        if S:
+            mask_dma(0, 0).start()
+        plane_bits = None
+        for s in range(S):
+            p, bit = divmod(s, 8)
+            if bit == 0:
+                if p + 1 < P:
+                    mask_dma((p + 1) % 2, p + 1).start()
+                mask_dma(p % 2, p).wait()
+                plane_bits = scratch[p % 2].astype(jnp.int32)
+            mask = ((plane_bits >> bit) & 1) != 0
+            kind, d = kinds[s], dists[s]
+            planes = [
+                jnp.where(mask, _stage_partner(y, kind, d, R, rowid, laneid), y)
+                for y in planes
+            ]
+        for o, y in zip(out_refs, planes):
+            o[:] = y
+
+    def in_map(b):
+        return (_phys_expr(b, layout), 0)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((mrows, 128), dtype) for _ in range(nplanes)
+        ),
+        in_specs=[
+            pl.BlockSpec((R, 128), in_map, memory_space=pltpu.VMEM)
+            for _ in range(nplanes)
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tuple(
+            pl.BlockSpec((R, 128), lambda b: (b, 0), memory_space=pltpu.VMEM)
+            for _ in range(nplanes)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, 128), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(*x_planes, masks)
+    return out if isinstance(out, tuple) else (out,)
+
+
+def butterfly_apply(
+    x_planes: Sequence[jax.Array],
+    masks: jax.Array,
+    block_bits: Tuple[int, ...],
+    bl: int,
+    *,
+    layout: Tuple[int, ...] | None = None,
+    interpret: bool = False,
+):
+    """g fused XOR stages at distances bl * 2^block_bits[k], k in stage
+    order. Reads logical blocks through `layout`; writes each group's 2^g
+    member blocks contiguously (group-major). Returns (planes, new_layout).
+
+    masks: [ngroups, G*R, 128] int8, bit k = stage k, member-major rows
+    (logical grouping, independent of physical layout).
+    """
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    g = len(block_bits)
+    G = 1 << g
+    nplanes = len(x_planes)
+    R = bl // 128
+    mrows = x_planes[0].shape[0]
+    nblocks = mrows // R
+    nbits = int(np.log2(nblocks))
+    ngroups = nblocks // G
+    dtype = x_planes[0].dtype
+    if layout is None:
+        layout = _identity_bitmap(nbits)
+
+    rest = [b for b in range(nbits) if b not in block_bits]
+
+    def logical_bid_expr(gid, s):
+        bid = 0
+        for i, b in enumerate(rest):
+            bid = bid + ((gid // (1 << i)) % 2) * (1 << b)
+        for k, b in enumerate(block_bits):
+            bid = bid + ((s >> k) & 1) * (1 << b)
+        return bid
+
+    # after the pass: physical = gid * G + s, i.e. low bits <- block_bits,
+    # high bits <- rest (a pure bit permutation of the logical index)
+    new_layout = tuple(block_bits) + tuple(rest)
+
+    def kern(*refs):
+        xs = refs[: nplanes * G]
+        mref = refs[nplanes * G]
+        outs = refs[nplanes * G + 1 :]
+        cur = [[xs[p * G + s][:] for s in range(G)] for p in range(nplanes)]
+        mbits = mref[0].astype(jnp.int32)
+        for k in range(g):
+            new = [[None] * G for _ in range(nplanes)]
+            for s in range(G):
+                partner = s ^ (1 << k)
+                msk = ((mbits[s * R : (s + 1) * R, :] >> k) & 1) != 0
+                for p in range(nplanes):
+                    new[p][s] = jnp.where(msk, cur[p][partner], cur[p][s])
+            cur = new
+        for p in range(nplanes):
+            for s in range(G):
+                outs[p][s * R : (s + 1) * R, :] = cur[p][s]
+
+    in_specs = []
+    for _ in range(nplanes):
+        for s in range(G):
+            in_specs.append(
+                pl.BlockSpec(
+                    (R, 128),
+                    (lambda gid, s=s: (
+                        _phys_expr(logical_bid_expr(gid, s), layout), 0)),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+    in_specs.append(
+        pl.BlockSpec(
+            (1, G * R, 128), lambda gid: (gid, 0, 0), memory_space=pltpu.VMEM
+        )
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(ngroups,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((mrows, 128), dtype) for _ in range(nplanes)
+        ),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec((G * R, 128), lambda gid: (gid, 0), memory_space=pltpu.VMEM)
+            for _ in range(nplanes)
+        ),
+        interpret=interpret,
+    )(*[p for p in x_planes for _ in range(G)], masks)
+    out = out if isinstance(out, tuple) else (out,)
+    return out, new_layout
+
+
+def window_shift_apply(
+    x_planes: Sequence[jax.Array],
+    masks: jax.Array,
+    dists: Tuple[int, ...],
+    bl: int,
+    *,
+    layout: Tuple[int, ...] | None = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Fused shift stages (y[i] <- y[i-d] where mask) with sum(d) < bl.
+
+    Reads logical blocks (b-1, b) through `layout`, applies every stage
+    over the 2-block window (block b's values only depend on window
+    positions >= b*bl - sum(d)), writes block b naturally (restores the
+    identity layout). masks [nblocks, 2R, 128] int8, bit s = stage s.
+    """
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    S = len(dists)
+    nplanes = len(x_planes)
+    R = bl // 128
+    mrows = x_planes[0].shape[0]
+    nblocks = mrows // R
+    dtype = x_planes[0].dtype
+    assert sum(dists) < bl and S <= 8
+    if layout is None:
+        layout = _identity_bitmap(int(np.log2(nblocks)))
+
+    def kern(*refs):
+        lefts = refs[:nplanes]
+        selves = refs[nplanes : 2 * nplanes]
+        mref = refs[2 * nplanes]
+        outs = refs[2 * nplanes + 1 :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (2 * R, 128), 1)
+        mbits = mref[0].astype(jnp.int32)
+        for p in range(nplanes):
+            y = jnp.concatenate([lefts[p][:], selves[p][:]], axis=0)
+            for s, d in enumerate(dists):
+                msk = ((mbits >> s) & 1) != 0
+                if d >= 128:
+                    shifted = pltpu.roll(y, d // 128, 0)
+                else:
+                    a = pltpu.roll(y, d, 1)
+                    bwrap = pltpu.roll(a, 1, 0)
+                    shifted = jnp.where(lane >= d, a, bwrap)
+                y = jnp.where(msk, shifted, y)
+            outs[p][:] = y[R:]
+
+    in_specs = (
+        [
+            pl.BlockSpec(
+                (R, 128),
+                (lambda b: (
+                    _phys_expr((b + nblocks - 1) % nblocks, layout), 0)),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(nplanes)
+        ]
+        + [
+            pl.BlockSpec(
+                (R, 128),
+                (lambda b: (_phys_expr(b, layout), 0)),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(nplanes)
+        ]
+        + [pl.BlockSpec((1, 2 * R, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)]
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((mrows, 128), dtype) for _ in range(nplanes)
+        ),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec((R, 128), lambda b: (b, 0), memory_space=pltpu.VMEM)
+            for _ in range(nplanes)
+        ),
+        interpret=interpret,
+    )(*x_planes, *x_planes, masks)
+    return out if isinstance(out, tuple) else (out,)
+
+
+def bigshift_apply(
+    x_planes: Sequence[jax.Array],
+    masks: jax.Array,
+    d: int,
+    bl: int,
+    *,
+    layout: Tuple[int, ...] | None = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """One shift stage with d a multiple of bl: y[i] <- y[i - d] where
+    mask (source = same offset in logical block b - d//bl). Writes
+    natural order. masks [nblocks, R, 128] int8 (0/1)."""
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    nplanes = len(x_planes)
+    R = bl // 128
+    mrows = x_planes[0].shape[0]
+    nblocks = mrows // R
+    dtype = x_planes[0].dtype
+    db = (d // bl) % nblocks
+    if layout is None:
+        layout = _identity_bitmap(int(np.log2(nblocks)))
+
+    def kern(*refs):
+        srcs = refs[:nplanes]
+        selves = refs[nplanes : 2 * nplanes]
+        mref = refs[2 * nplanes]
+        outs = refs[2 * nplanes + 1 :]
+        msk = mref[0] != 0
+        for p in range(nplanes):
+            outs[p][:] = jnp.where(msk, srcs[p][:], selves[p][:])
+
+    in_specs = (
+        [
+            pl.BlockSpec(
+                (R, 128),
+                (lambda b: (
+                    _phys_expr((b + nblocks - db) % nblocks, layout), 0)),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(nplanes)
+        ]
+        + [
+            pl.BlockSpec(
+                (R, 128),
+                (lambda b: (_phys_expr(b, layout), 0)),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(nplanes)
+        ]
+        + [pl.BlockSpec((1, R, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)]
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((mrows, 128), dtype) for _ in range(nplanes)
+        ),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec((R, 128), lambda b: (b, 0), memory_space=pltpu.VMEM)
+            for _ in range(nplanes)
+        ),
+        interpret=interpret,
+    )(*x_planes, *x_planes, masks)
+    return out if isinstance(out, tuple) else (out,)
+
+
+# ---------------------------------------------------------------------------
+# hierarchical schedule compilation + application
+# ---------------------------------------------------------------------------
+
+
+def hier_gmax(bl: int, nplanes: int, budget: int = 14_000_000) -> int:
+    """Largest butterfly group exponent g whose pass fits VMEM: Mosaic
+    double-buffers each of the 2^g in and out blocks per plane plus the
+    bit-packed mask block."""
+    g = 0
+    while g < 3:
+        G = 1 << (g + 1)
+        need = G * bl * (4 * 2 * nplanes + 1) * 2
+        if need > budget:
+            break
+        g += 1
+    return max(g, 0)
+
+
+def compile_hier(kinds, dists, masks_host, bl: int, *, gmax: int = 2):
+    """Split one network's stage schedule into hierarchical passes.
+
+    masks_host: [S, m] bool (one network). Returns a tuple of pass
+    descriptors with device-resident mask arrays:
+      ('inner', kinds, dists, masks [nblocks, P, R, 128] int8 packed)
+      ('butterfly', block_bits, masks [ngroups, G*R, 128] int8 bit-packed)
+      ('window', dists, masks [nblocks, 2R, 128] int8 bit-packed)
+      ('bigshift', d, masks [nblocks, R, 128] int8)
+    """
+    S, m = masks_host.shape
+    R = bl // 128
+    nblocks = m // bl
+    nbits = int(np.log2(nblocks))
+    assert nblocks * bl == m and nblocks & (nblocks - 1) == 0
+
+    def flush_inner(buf, out):
+        if not buf:
+            return
+        ks = tuple(k for k, _, _ in buf)
+        ds = tuple(d for _, d, _ in buf)
+        mk = np.stack([mask for _, _, mask in buf])  # [S_run, m]
+        Srun = len(buf)
+        P = (Srun + 7) // 8
+        mk = mk.reshape(Srun, nblocks, R, 128).transpose(1, 0, 2, 3)
+        packed = np.zeros((nblocks, P, R, 128), dtype=np.uint8)
+        for s in range(Srun):
+            packed[:, s // 8] |= mk[:, s].astype(np.uint8) << (s % 8)
+        out.append(("inner", ks, ds, jnp.asarray(packed.view(np.int8))))
+        buf.clear()
+
+    def flush_outer(buf, out, gmax=gmax):
+        while buf:
+            grp = []
+            used_bits = set()
+            while buf and len(grp) < gmax:
+                d, mask = buf[0]
+                bit = int(np.log2(d // bl))
+                if bit in used_bits:
+                    break
+                used_bits.add(bit)
+                grp.append(buf.pop(0))
+            bits = tuple(int(np.log2(d // bl)) for d, _ in grp)
+            g = len(bits)
+            G = 1 << g
+            rest = [b for b in range(nbits) if b not in bits]
+            # member-major grouped mask rows: group gid, member s
+            packed = np.zeros((nblocks // G, G * R, 128), dtype=np.uint8)
+            for k, (_, mask) in enumerate(grp):
+                mb = mask.reshape(nblocks, R, 128).astype(np.uint8)
+                for gid in range(nblocks // G):
+                    for s in range(G):
+                        bid = 0
+                        for i, b in enumerate(rest):
+                            bid |= ((gid >> i) & 1) << b
+                        for kk, b in enumerate(bits):
+                            bid |= ((s >> kk) & 1) << b
+                        packed[gid, s * R : (s + 1) * R] |= mb[bid] << k
+            out.append(("butterfly", bits, jnp.asarray(packed.view(np.int8))))
+
+    def flush_window(buf, out):
+        if not buf:
+            return
+        ds = tuple(d for d, _ in buf)
+        assert sum(ds) < bl and len(buf) <= 8
+        packed = np.zeros((nblocks, 2 * R, 128), dtype=np.uint8)
+        for s, (_, mask) in enumerate(buf):
+            mk = mask.reshape(nblocks, R, 128).astype(np.uint8)
+            packed[:, R:] |= mk << s
+            packed[1:, :R] |= mk[:-1] << s  # left-neighbor; block 0 left = 0
+        out.append(("window", ds, jnp.asarray(packed.view(np.int8))))
+        buf.clear()
+
+    passes = []
+    inner_buf, outer_buf, win_buf = [], [], []
+    for s in range(S):
+        k, d, mk = kinds[s], dists[s], masks_host[s]
+        if k == "xor" and d < bl:
+            flush_outer(outer_buf, passes)
+            flush_window(win_buf, passes)
+            inner_buf.append((k, d, mk))
+        elif k == "xor":
+            flush_inner(inner_buf, passes)
+            flush_window(win_buf, passes)
+            outer_buf.append((d, mk))
+        elif d >= bl:  # block-aligned long shift (very long broadcast run)
+            assert d % bl == 0
+            flush_inner(inner_buf, passes)
+            flush_outer(outer_buf, passes)
+            flush_window(win_buf, passes)
+            passes.append(
+                ("bigshift", d,
+                 jnp.asarray(mk.reshape(nblocks, R, 128).astype(np.int8)))
+            )
+        else:  # short shift, fused into a window pass
+            flush_inner(inner_buf, passes)
+            flush_outer(outer_buf, passes)
+            if win_buf and (
+                sum(x for x, _ in win_buf) + d >= bl or len(win_buf) >= 8
+            ):
+                flush_window(win_buf, passes)
+            win_buf.append((d, mk))
+    flush_inner(inner_buf, passes)
+    flush_outer(outer_buf, passes)
+    flush_window(win_buf, passes)
+    return tuple(passes)
+
+
+def hier_apply(
+    x_planes: Sequence[jax.Array],
+    passes,
+    bl: int,
+    *,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Apply a compile_hier pass sequence to [m//128, 128] planes.
+
+    Tracks the block layout across butterfly passes (which write their
+    groups contiguously); inner/window/bigshift passes restore natural
+    order, and a final static block relayout runs if the sequence ends
+    scrambled."""
+    planes = tuple(x_planes)
+    R = bl // 128
+    mrows = planes[0].shape[0]
+    nblocks = mrows // R
+    layout = None  # None == identity
+    for p in passes:
+        if p[0] == "inner":
+            _, ks, ds, mk = p
+            planes = routed_apply_sliced(
+                planes, mk, ks, ds, layout=layout, interpret=interpret
+            )
+            layout = None
+        elif p[0] == "butterfly":
+            _, bits, mk = p
+            planes, layout = butterfly_apply(
+                planes, mk, bits, bl, layout=layout, interpret=interpret
+            )
+            if tuple(layout) == tuple(range(len(layout))):
+                layout = None
+        elif p[0] == "bigshift":
+            _, d, mk = p
+            planes = bigshift_apply(
+                planes, mk, d, bl, layout=layout, interpret=interpret
+            )
+            layout = None
+        else:
+            _, ds, mk = p
+            planes = window_shift_apply(
+                planes, mk, ds, bl, layout=layout, interpret=interpret
+            )
+            layout = None
+    if layout is not None:
+        # static relayout: logical block b lives at physical _phys(b)
+        phys = [0] * nblocks
+        for b in range(nblocks):
+            p = 0
+            for k, srcbit in enumerate(layout):
+                p |= ((b >> srcbit) & 1) << k
+            phys[b] = p
+        planes = tuple(
+            jnp.concatenate(
+                [pp[phys[b] * R : (phys[b] + 1) * R] for b in range(nblocks)]
+            )
+            for pp in planes
+        )
+    return planes

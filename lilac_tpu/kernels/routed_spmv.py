@@ -417,10 +417,32 @@ _CACHE_VERSION = 1
 
 
 def save_routed(path: str, M) -> None:
+    import json as _json
+
     import numpy as _np
 
     kv = {"version": _CACHE_VERSION, "cls": type(M).__name__,
           "shape": _np.asarray(M.shape), "m": M.m}
+    if isinstance(M, RoutedMatHier):
+        kv["meta"] = _json.dumps(
+            {
+                "chunks": M.chunks,
+                "m_out": M.m_out,
+                "bl": M.bl,
+                "n_nz": M.n_nz,
+                "nets_meta": [net.pass_meta for net in M.nets],
+                "unperm_meta": M.unperm.pass_meta,
+                "nets_npass": [len(net.pass_masks) for net in M.nets],
+            }
+        )
+        for i, net in enumerate(M.nets):
+            kv[f"vals{i}"] = _np.asarray(M.vals[i])
+            for j, mk in enumerate(net.pass_masks):
+                kv[f"net{i}_mask{j}"] = _np.asarray(mk)
+        for j, mk in enumerate(M.unperm.pass_masks):
+            kv[f"unperm_mask{j}"] = _np.asarray(mk)
+        _np.savez(path, **kv)
+        return
     if isinstance(M, RoutedMat):
         kv.update(
             masks=_np.asarray(M.masks), vals=_np.asarray(M.vals),
@@ -449,6 +471,40 @@ def load_routed(path: str):
         return None
     shape = tuple(int(v) for v in z["shape"])
     m = int(z["m"])
+    if str(z["cls"]) == "RoutedMatHier":
+        import json as _json
+
+        def detuple(x):
+            if isinstance(x, list):
+                return tuple(detuple(v) for v in x)
+            return x
+
+        meta = _json.loads(str(z["meta"]))
+        nets = []
+        vals = []
+        for i, npass in enumerate(meta["nets_npass"]):
+            nets.append(
+                HierNet(
+                    pass_masks=tuple(
+                        jnp.asarray(z[f"net{i}_mask{j}"]) for j in range(npass)
+                    ),
+                    pass_meta=detuple(meta["nets_meta"][i]),
+                )
+            )
+            vals.append(jnp.asarray(z[f"vals{i}"]))
+        nup = len(detuple(meta["unperm_meta"]))
+        unperm = HierNet(
+            pass_masks=tuple(
+                jnp.asarray(z[f"unperm_mask{j}"]) for j in range(nup)
+            ),
+            pass_meta=detuple(meta["unperm_meta"]),
+        )
+        return RoutedMatHier(
+            nets=tuple(nets), vals=tuple(vals), unperm=unperm,
+            chunks=detuple(meta["chunks"]), shape=shape, m=m,
+            m_out=int(meta["m_out"]), bl=int(meta["bl"]),
+            n_nz=int(meta["n_nz"]),
+        )
     if str(z["cls"]) == "RoutedMat":
         inv = z["inv_perm"]
         return RoutedMat(
@@ -471,3 +527,236 @@ def load_routed(path: str):
         inv_perm=jnp.asarray(z["inv_perm"]),
         shape=shape, m=m, seg_size=int(z["seg_size"]),
     )
+
+
+# ---------------------------------------------------------------------------
+# hierarchical routing: one full-size network per term super-block
+# (no column segmentation — stage distances above the VMEM block size run
+# as butterfly/window passes, see kernels/routed.py)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class HierNet:
+    """Device half of a compile_hier pass schedule (pytree)."""
+
+    pass_masks: tuple  # one device mask array per pass
+    pass_meta: tuple  # static: ("inner", kinds, dists) | ("butterfly",
+    #                    bits) | ("bigshift", d) | ("window", dists)
+
+
+jax.tree_util.register_dataclass(
+    HierNet, data_fields=["pass_masks"], meta_fields=["pass_meta"]
+)
+
+
+def _split_hier(passes):
+    masks, meta = [], []
+    for p in passes:
+        masks.append(p[-1])
+        meta.append(p[:-1])
+    return HierNet(pass_masks=tuple(masks), pass_meta=tuple(meta))
+
+
+def hier_net_apply(net: HierNet, planes, bl: int, *, interpret: bool = False):
+    passes = [m + (mk,) for m, mk in zip(net.pass_meta, net.pass_masks)]
+    return rd.hier_apply(planes, passes, bl, interpret=interpret)
+
+
+@dataclasses.dataclass
+class RoutedMatHier:
+    """Sparse matrix staged as hierarchical routing networks.
+
+    nets[i] gathers x into net i's term slots; vals[i] [m(,2)] multiplies
+    in slot order; chunks[i] = ((slot0, rows_c, K_c), ...) describe the
+    ELL sub-blocks packed into the net. Rows globally sorted by length
+    (tight K); `unperm` routes the chunk-concatenated sorted y back to
+    natural order (an [n]-gather would hit the slow big-table path).
+    """
+
+    nets: tuple
+    vals: tuple
+    unperm: HierNet
+    chunks: tuple
+    shape: Tuple[int, int]
+    m: int
+    m_out: int
+    bl: int
+    n_nz: int  # rows with nonzero count = length of the sorted concat
+
+
+jax.tree_util.register_dataclass(
+    RoutedMatHier,
+    data_fields=["nets", "vals", "unperm"],
+    meta_fields=["chunks", "shape", "m", "m_out", "bl", "n_nz"],
+)
+
+
+def build_routed_csr_hier(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    shape: Tuple[int, int],
+    *,
+    dtype: str = "f32",
+    bl: int = 1 << 16,
+    m: int | None = None,
+    host_batch: int = 4,
+    verbose: bool = False,
+) -> RoutedMatHier:
+    n, ncol = shape
+    counts = np.diff(indptr).astype(np.int64)
+    kmax = int(counts.max()) if n else 1
+    if m is None:
+        m = max(2 * bl, _pow2_at_least(max(ncol, kmax)))
+    assert m >= ncol and m % bl == 0
+
+    order = np.argsort(-counts, kind="stable")
+    sorted_counts = counts[order]
+    n_nz = int(np.searchsorted(-sorted_counts, 0, side="left"))
+
+    # pack (rows_c, K) chunks into m-slot nets; K = first (max) count in
+    # chunk, rows capped where counts fall below 3/4 K to keep K tight
+    nets_chunks = []  # per net: list of (slot0, rows_c, K)
+    cur, used = [], 0
+    i = 0
+    while i < n_nz:
+        K = int(sorted_counts[i])
+        space = m - used
+        if space < K:
+            nets_chunks.append(cur)
+            cur, used = [], 0
+            continue
+        lim = int(np.searchsorted(-sorted_counts, -max(1, (3 * K) // 4), side="right"))
+        rows_c = min(space // K, n_nz - i, max(lim - i, 1))
+        cur.append((used, rows_c, K))
+        used += rows_c * K
+        i += rows_c
+    if cur:
+        nets_chunks.append(cur)
+    nnets = len(nets_chunks)
+
+    if dtype == "df64":
+        hi = data.astype(np.float32)
+        lo = (data - hi.astype(np.float64)).astype(np.float32)
+        dvals = np.stack([hi, lo], axis=-1)
+    else:
+        dvals = data.astype({"f32": np.float32, "f64": np.float64}[dtype])
+
+    # slot assignment (vectorized): entry e of row r -> net/slot
+    net_of = np.zeros(n, dtype=np.int64)
+    slot0_of = np.zeros(n, dtype=np.int64)
+    k_of = np.ones(n, dtype=np.int64)
+    pos = 0
+    for b, chlist in enumerate(nets_chunks):
+        for (s0, rows_c, K) in chlist:
+            rows_b = order[pos : pos + rows_c]
+            net_of[rows_b] = b
+            slot0_of[rows_b] = s0 + np.arange(rows_c) * K
+            k_of[rows_b] = K
+            pos += rows_c
+    rows_rep = np.repeat(np.arange(n), counts)
+    slot_in_row = np.arange(len(indices)) - np.repeat(indptr[:-1], counts)
+    b_e = net_of[rows_rep]
+    t_e = slot0_of[rows_rep] + slot_in_row
+
+    # padding slots gather (slot % ncol): bounded broadcast runs, value 0
+    base = np.tile(np.arange(m, dtype=np.int64) % ncol, (nnets, 1))
+    base[b_e, t_e] = indices
+    idx_all = base
+    vals = np.zeros((nnets, m) + dvals.shape[1:], dtype=dvals.dtype)
+    vals[b_e, t_e] = dvals
+
+    nets = []
+    for g0 in range(0, nnets, host_batch):
+        g1 = min(g0 + host_batch, nnets)
+        net_h = rn.build_gather_network(idx_all[g0:g1], ncol, m, drop_empty=False)
+        gmax = rd.hier_gmax(bl, 2 if dtype == "df64" else 1)
+        for b in range(g1 - g0):
+            passes = rd.compile_hier(
+                net_h.kinds, net_h.dists, net_h.masks[:, b, :], bl, gmax=gmax
+            )
+            nets.append(_split_hier(passes))
+        if verbose:
+            print(f"  hier nets {g0}..{g1 - 1}/{nnets} built", flush=True)
+
+    # un-permute network: y_nat[r] = y_sorted[rank[r]]; zero-count rows
+    # read the zero pad slot n_nz
+    rank = np.full(n, n_nz, dtype=np.int64)
+    rank[order[:n_nz]] = np.arange(n_nz)
+    m_out = max(2 * bl, _pow2_at_least(max(n, n_nz + 1)))
+    unet = rn.build_gather_network(rank[None], n_nz + 1, m_out, drop_empty=False)
+    unperm = _split_hier(
+        rd.compile_hier(
+            unet.kinds, unet.dists, unet.masks[:, 0, :], bl,
+            gmax=rd.hier_gmax(bl, 2 if dtype == "df64" else 1),
+        )
+    )
+    if verbose:
+        tot_slots = nnets * m
+        print(
+            f"hier: n={n} m={m} nets={nnets} slots/nnz="
+            f"{tot_slots / max(len(indices), 1):.2f}", flush=True,
+        )
+    return RoutedMatHier(
+        nets=tuple(nets),
+        vals=tuple(jnp.asarray(v) for v in vals),
+        unperm=unperm,
+        chunks=tuple(tuple(ch) for ch in nets_chunks),
+        shape=tuple(shape),
+        m=m,
+        m_out=m_out,
+        bl=bl,
+        n_nz=n_nz,
+    )
+
+
+def _plane(x, m):
+    return jnp.pad(x, (0, m - x.shape[0])).reshape(m // 128, 128)
+
+
+def routed_hier_spmv(A: RoutedMatHier, x, *, interpret: bool = False):
+    xp = _plane(x.astype(A.vals[0].dtype), A.m)
+    parts = []
+    for net, vals, chlist in zip(A.nets, A.vals, A.chunks):
+        (o,) = hier_net_apply(net, (xp,), A.bl, interpret=interpret)
+        prod = vals * o.reshape(A.m)
+        for (s0, rows_c, K) in chlist:
+            parts.append(
+                jnp.sum(prod[s0 : s0 + rows_c * K].reshape(rows_c, K), axis=1)
+            )
+    y_sorted = jnp.concatenate(parts)
+    (u,) = hier_net_apply(
+        A.unperm, (_plane(y_sorted, A.m_out),), A.bl, interpret=interpret
+    )
+    return u.reshape(A.m_out)[: A.shape[0]]
+
+
+def routed_hier_spmv_df(A: RoutedMatHier, x: df.DF, *, interpret: bool = False):
+    ph = _plane(x.hi, A.m)
+    pl_ = _plane(x.lo, A.m)
+    his, los = [], []
+    for net, vals, chlist in zip(A.nets, A.vals, A.chunks):
+        oh, ol = hier_net_apply(net, (ph, pl_), A.bl, interpret=interpret)
+        a = df.DF(vals[..., 0], vals[..., 1])
+        prod = df.mul(a, df.DF(oh.reshape(A.m), ol.reshape(A.m)))
+        for (s0, rows_c, K) in chlist:
+            t = df.sum_df(
+                df.DF(
+                    prod.hi[s0 : s0 + rows_c * K].reshape(rows_c, K),
+                    prod.lo[s0 : s0 + rows_c * K].reshape(rows_c, K),
+                ),
+                axis=1,
+            )
+            his.append(t.hi)
+            los.append(t.lo)
+    yh = jnp.concatenate(his)
+    yl = jnp.concatenate(los)
+    uh, ul = hier_net_apply(
+        A.unperm,
+        (_plane(yh, A.m_out), _plane(yl, A.m_out)),
+        A.bl,
+        interpret=interpret,
+    )
+    n = A.shape[0]
+    return df.DF(uh.reshape(A.m_out)[:n], ul.reshape(A.m_out)[:n])

@@ -61,7 +61,7 @@ def _two_color_batched(
         max_cycle = m
     rows = np.arange(B)[:, None]
     step = nbr_b[rows, nbr_a]  # even-distance walk: preserves orbit
-    leader = np.broadcast_to(np.arange(m), (B, m)).copy()
+    leader = np.broadcast_to(np.arange(m, dtype=np.int32), (B, m)).copy()
     hop = step.copy()
     for _ in range(int(np.ceil(np.log2(max(max_cycle, 2)))) + 1):
         leader = np.minimum(leader, leader[rows, hop])
@@ -79,14 +79,14 @@ def benes_route_batched(perm: np.ndarray) -> List[Tuple[int, np.ndarray]]:
     semantics: y[i] = x[i ^ d] if mask[..., i] else x[i] (consistent
     exchanges: mask[i] == mask[i ^ d]).
     """
-    perm = np.asarray(perm, dtype=np.int64)
+    perm = np.asarray(perm, dtype=np.int32)
     if perm.ndim == 1:
         perm = perm[None]
     B, m = perm.shape
     assert m & (m - 1) == 0 and m >= 2
     nlev = int(np.log2(m))
     rows = np.arange(B)[:, None]
-    e_glob = np.broadcast_to(np.arange(m), (B, m))
+    e_glob = np.broadcast_to(np.arange(m, dtype=np.int32), (B, m))
 
     in_stages: List[Tuple[int, np.ndarray]] = []
     out_stages: List[Tuple[int, np.ndarray]] = []
@@ -123,7 +123,7 @@ def benes_route_batched(perm: np.ndarray) -> List[Tuple[int, np.ndarray]]:
 
         # positions after the input stage: element from local slot i sits
         # at (i mod h) + h * color; next-level blocks are the two halves
-        pos_after = base + (e_loc % h) + h * color.astype(np.int64)
+        pos_after = base + (e_loc % h) + h * color.astype(np.int32)
         elem_at = np.empty_like(cur)  # element sitting at each slot
         np.put_along_axis(elem_at, pos_after, e_glob, axis=1)
         # sub-permutation: element must exit its subnetwork at (dest mod h)
@@ -174,12 +174,16 @@ class GatherPlanHost:
         return y
 
 
-def build_gather_network(idx: np.ndarray, n: int, m: int | None = None) -> GatherPlanHost:
+def build_gather_network(
+    idx: np.ndarray, n: int, m: int | None = None, *, drop_empty: bool = True
+) -> GatherPlanHost:
     """Build routing networks computing out[b, k] = x[b, idx[b, k]].
 
     idx: [B, T] int (0 <= idx < n); m: network size (power of two,
     >= max(n, T); default = that bound). Stages with all-false masks are
-    dropped (common when idx is partially sorted).
+    dropped (common when idx is partially sorted) unless drop_empty=False
+    (hierarchical nets keep the canonical schedule so every net shares
+    the same pass structure and Mosaic kernel cache entries).
     """
     idx = np.asarray(idx, dtype=np.int64)
     if idx.ndim == 1:
@@ -248,7 +252,7 @@ def build_gather_network(idx: np.ndarray, n: int, m: int | None = None) -> Gathe
     for d, mk in stages2:
         kinds.append("xor"); dists.append(d); masks.append(mk)
 
-    keep = [s for s, mk in enumerate(masks) if mk.any()]
+    keep = [s for s, mk in enumerate(masks) if (not drop_empty) or mk.any()]
     return GatherPlanHost(
         kinds=tuple(kinds[s] for s in keep),
         dists=tuple(dists[s] for s in keep),

@@ -87,14 +87,23 @@ class SpmvPlan:
             lo = (data - hi.astype(np.float64)).astype(np.float32)
             vals = np.stack([hi, lo], axis=-1)
             self.A = convert.bucket_ell_device(indptr, indices, vals, shape)
-        elif kernel in ("routed", "routed_df"):
-            from lilac_tpu.kernels.routed_spmv import build_routed_csr
+        elif kernel in ("routed", "routed_df", "routed_hier", "routed_hier_df"):
+            from lilac_tpu.kernels.routed_spmv import (
+                build_routed_csr,
+                build_routed_csr_hier,
+            )
 
-            vdt = "df64" if (dtype == "df64" or kernel == "routed_df") else (
+            vdt = "df64" if (dtype == "df64" or kernel.endswith("_df")) else (
                 "f64" if dtype == "f64" else "f32"
             )
-            self.A = build_routed_csr(indptr, indices, data, shape, dtype=vdt)
-            self.kernel = kernel = "routed_df" if vdt == "df64" else "routed"
+            hier = kernel.startswith("routed_hier") or shape[1] > (1 << 18)
+            if hier:
+                self.A = build_routed_csr_hier(indptr, indices, data, shape, dtype=vdt)
+                base = "routed_hier"
+            else:
+                self.A = build_routed_csr(indptr, indices, data, shape, dtype=vdt)
+                base = "routed"
+            self.kernel = kernel = base + ("_df" if vdt == "df64" else "")
         else:
             raise ValueError(f"kernel {kernel!r} not wired into SpmvPlan yet")
 
@@ -153,6 +162,14 @@ class SpmvPlan:
             from lilac_tpu.kernels.routed_spmv import routed_spmv_df
 
             return routed_spmv_df(A, x)
+        if self.kernel == "routed_hier":
+            from lilac_tpu.kernels.routed_spmv import routed_hier_spmv
+
+            return routed_hier_spmv(A, x)
+        if self.kernel == "routed_hier_df":
+            from lilac_tpu.kernels.routed_spmv import routed_hier_spmv_df
+
+            return routed_hier_spmv_df(A, x)
         raise ValueError(self.kernel)
 
     def matvec_t_with(self, A, x):

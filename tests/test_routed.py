@@ -154,3 +154,105 @@ def test_routed_seg_spmv_df_matches_oracle(rng):
     x = rng.normal(size=A.shape[1])
     y = df.to_f64(rs.routed_seg_spmv_df(M, df.from_f64(x), interpret=True))
     np.testing.assert_allclose(y, A @ x, rtol=1e-13, atol=1e-13)
+
+
+def test_hier_apply_matches_gather(rng):
+    """Hierarchical passes (inner + butterfly + window) == direct gather."""
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed as rd
+    from lilac_tpu.kernels import routenet as rn
+
+    n, T, bl = 3000, 8192, 1024  # m = 8192 -> 8 blocks of 1024
+    idx = rng.integers(0, n, size=(1, T))
+    net = rn.build_gather_network(idx, n, drop_empty=False)
+    assert net.m == 8192
+    passes = rd.compile_hier(net.kinds, net.dists, net.masks[:, 0, :], bl)
+    kindset = {p[0] for p in passes}
+    assert {"inner", "butterfly"} <= kindset
+    x = rng.normal(size=n).astype(np.float32)
+    xp = np.zeros(net.m, np.float32)
+    xp[:n] = x
+    (out,) = rd.hier_apply(
+        [jnp.asarray(xp.reshape(-1, 128))], passes, bl, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1)[:T], x[idx[0]])
+
+
+def test_hier_apply_two_planes_heavy_dups(rng):
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed as rd
+    from lilac_tpu.kernels import routenet as rn
+
+    n, T, bl = 500, 4096, 1024
+    idx = np.concatenate([np.full(1800, 3), rng.integers(0, n, size=T - 1800)])
+    rng.shuffle(idx)
+    net = rn.build_gather_network(idx[None], n, drop_empty=False)
+    passes = rd.compile_hier(net.kinds, net.dists, net.masks[:, 0, :], bl)
+    hi = rng.normal(size=n).astype(np.float32)
+    lo = rng.normal(size=n).astype(np.float32)
+    planes = []
+    for p in (hi, lo):
+        xp = np.zeros(net.m, np.float32)
+        xp[:n] = p
+        planes.append(jnp.asarray(xp.reshape(-1, 128)))
+    oh, ol = rd.hier_apply(planes, passes, bl, interpret=True)
+    np.testing.assert_array_equal(np.asarray(oh).reshape(-1)[:T], hi[idx])
+    np.testing.assert_array_equal(np.asarray(ol).reshape(-1)[:T], lo[idx])
+
+
+def test_routed_hier_spmv_matches_oracle(rng):
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed_spmv as rs
+
+    A = _random_csr_spread(rng, 3000, 3000, 6.0)  # ncol > bl -> hierarchical
+    M = rs.build_routed_csr_hier(
+        A.indptr, A.indices, A.data, A.shape, dtype="f32", bl=1024
+    )
+    assert len(M.nets) >= 1 and M.m >= 4096
+    x = rng.normal(size=A.shape[1]).astype(np.float32)
+    y = np.asarray(rs.routed_hier_spmv(M, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y, A @ x.astype(np.float64), rtol=2e-5, atol=2e-5)
+
+
+def test_routed_hier_spmv_df_matches_oracle(rng):
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed_spmv as rs
+    from lilac_tpu.ops import dfloat as df
+
+    A = _random_csr_spread(rng, 2500, 2800, 5.0)
+    # some empty rows exercise the zero-pad slot in the un-permute
+    A = A.tolil()
+    for r in (7, 100, 2499):
+        A.rows[r] = []
+        A.data[r] = []
+    A = A.tocsr()
+    M = rs.build_routed_csr_hier(
+        A.indptr, A.indices, A.data, A.shape, dtype="df64", bl=1024
+    )
+    assert M.n_nz < A.shape[0]
+    x = rng.normal(size=A.shape[1])
+    y = df.to_f64(rs.routed_hier_spmv_df(M, df.from_f64(x), interpret=True))
+    np.testing.assert_allclose(y, A @ x, rtol=1e-13, atol=1e-13)
+
+
+def test_hier_cache_roundtrip(rng, tmp_path):
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed_spmv as rs
+
+    A = _random_csr_spread(rng, 1500, 2500, 5.0)
+    M = rs.build_routed_csr_hier(
+        A.indptr, A.indices, A.data, A.shape, dtype="f32", bl=1024
+    )
+    p = str(tmp_path / "hier.npz")
+    rs.save_routed(p, M)
+    M2 = rs.load_routed(p)
+    assert M2.chunks == M.chunks and M2.bl == M.bl and M2.n_nz == M.n_nz
+    x = rng.normal(size=A.shape[1]).astype(np.float32)
+    y1 = np.asarray(rs.routed_hier_spmv(M, jnp.asarray(x), interpret=True))
+    y2 = np.asarray(rs.routed_hier_spmv(M2, jnp.asarray(x), interpret=True))
+    np.testing.assert_array_equal(y1, y2)
