@@ -99,6 +99,18 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
     use_scan = mode == "scan"
     squant = float(_os.environ.get("LILAC_SEG_QUANTILE", "97"))
 
+    if mode == "routed":
+        # Run the whole solve in sigma-space: relabel the j (row/column)
+        # space by descending V-column multiplicity so VT's rows are
+        # already length-sorted and its per-matvec un-permute network
+        # vanishes. A' = P A P^T for a permutation P leaves every CG
+        # scalar (dots, norms, zeta, rnorm) invariant, and the NPB driver
+        # feeds only permutation-invariant vectors (x0 = ones).
+        cnt_j = np.bincount(pos_j, minlength=n)
+        sigma = np.argsort(-cnt_j, kind="stable")
+        rank_s = np.empty(n, dtype=np.int64)
+        rank_s[sigma] = np.arange(n)
+        pos_j = rank_s[pos_j]
     v_ip, v_ix, v_v = coo_to_csr_arrays(rows_i, pos_j, vc, (n, n), sum_duplicates=False)
     t_ip, t_ix, t_v = coo_to_csr_arrays(pos_j, rows_i, vc, (n, n), sum_duplicates=False)
     if mode == "routed":

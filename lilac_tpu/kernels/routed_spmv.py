@@ -92,6 +92,8 @@ def build_routed_csr(
     if sort_rows == "auto":
         sort_rows = bool(kmax > 1.25 * max(counts.mean(), 1.0) + 2)
     order = np.argsort(-counts, kind="stable") if sort_rows else np.arange(n)
+    if sort_rows and np.array_equal(order, np.arange(n)):
+        sort_rows = False  # already length-sorted: no un-permute needed
 
     # greedy chunks over (sorted) rows: each chunk's K = its max length
     chunks = []
@@ -413,7 +415,7 @@ def routed_seg_spmv_df(A: RoutedMatSeg, x: df.DF, *, interpret: bool = False) ->
 # the same discipline as the generator's matrix cache — SURVEY.md section 5)
 # ---------------------------------------------------------------------------
 
-_CACHE_VERSION = 1
+_CACHE_VERSION = 2
 
 
 def save_routed(path: str, M) -> None:
@@ -431,7 +433,9 @@ def save_routed(path: str, M) -> None:
                 "bl": M.bl,
                 "n_nz": M.n_nz,
                 "nets_meta": [net.pass_meta for net in M.nets],
-                "unperm_meta": M.unperm.pass_meta,
+                "unperm_meta": (
+                    M.unperm.pass_meta if M.unperm is not None else None
+                ),
                 "nets_npass": [len(net.pass_masks) for net in M.nets],
             }
         )
@@ -439,7 +443,9 @@ def save_routed(path: str, M) -> None:
             kv[f"vals{i}"] = _np.asarray(M.vals[i])
             for j, mk in enumerate(net.pass_masks):
                 kv[f"net{i}_mask{j}"] = _np.asarray(mk)
-        for j, mk in enumerate(M.unperm.pass_masks):
+        for j, mk in enumerate(
+            M.unperm.pass_masks if M.unperm is not None else ()
+        ):
             kv[f"unperm_mask{j}"] = _np.asarray(mk)
         _np.savez(path, **kv)
         return
@@ -492,13 +498,16 @@ def load_routed(path: str):
                 )
             )
             vals.append(jnp.asarray(z[f"vals{i}"]))
-        nup = len(detuple(meta["unperm_meta"]))
-        unperm = HierNet(
-            pass_masks=tuple(
-                jnp.asarray(z[f"unperm_mask{j}"]) for j in range(nup)
-            ),
-            pass_meta=detuple(meta["unperm_meta"]),
-        )
+        if meta["unperm_meta"] is None:
+            unperm = None
+        else:
+            nup = len(detuple(meta["unperm_meta"]))
+            unperm = HierNet(
+                pass_masks=tuple(
+                    jnp.asarray(z[f"unperm_mask{j}"]) for j in range(nup)
+                ),
+                pass_meta=detuple(meta["unperm_meta"]),
+            )
         return RoutedMatHier(
             nets=tuple(nets), vals=tuple(vals), unperm=unperm,
             chunks=detuple(meta["chunks"]), shape=shape, m=m,
@@ -681,17 +690,25 @@ def build_routed_csr_hier(
             print(f"  hier nets {g0}..{g1 - 1}/{nnets} built", flush=True)
 
     # un-permute network: y_nat[r] = y_sorted[rank[r]]; zero-count rows
-    # read the zero pad slot n_nz
+    # read the zero pad slot n_nz. When the matrix is already stored in
+    # length-sorted row order (callers can relabel their whole problem
+    # once — factored NPB does), the un-permute is the identity and the
+    # per-matvec pass is skipped entirely.
     rank = np.full(n, n_nz, dtype=np.int64)
     rank[order[:n_nz]] = np.arange(n_nz)
     m_out = max(2 * bl, _pow2_at_least(max(n, n_nz + 1)))
-    unet = rn.build_gather_network(rank[None], n_nz + 1, m_out, drop_empty=False)
-    unperm = _split_hier(
-        rd.compile_hier(
-            unet.kinds, unet.dists, unet.masks[:, 0, :], bl,
-            gmax=rd.hier_gmax(bl, 2 if dtype == "df64" else 1),
+    if np.array_equal(order[:n_nz], np.arange(n_nz)):
+        unperm = None
+    else:
+        unet = rn.build_gather_network(
+            rank[None], n_nz + 1, m_out, drop_empty=False
         )
-    )
+        unperm = _split_hier(
+            rd.compile_hier(
+                unet.kinds, unet.dists, unet.masks[:, 0, :], bl,
+                gmax=rd.hier_gmax(bl, 2 if dtype == "df64" else 1),
+            )
+        )
     if verbose:
         tot_slots = nnets * m
         print(
@@ -726,10 +743,13 @@ def routed_hier_spmv(A: RoutedMatHier, x, *, interpret: bool = False):
                 jnp.sum(prod[s0 : s0 + rows_c * K].reshape(rows_c, K), axis=1)
             )
     y_sorted = jnp.concatenate(parts)
+    n = A.shape[0]
+    if A.unperm is None:
+        return jnp.pad(y_sorted, (0, n - y_sorted.shape[0]))
     (u,) = hier_net_apply(
         A.unperm, (_plane(y_sorted, A.m_out),), A.bl, interpret=interpret
     )
-    return u.reshape(A.m_out)[: A.shape[0]]
+    return u.reshape(A.m_out)[:n]
 
 
 def routed_hier_spmv_df(A: RoutedMatHier, x: df.DF, *, interpret: bool = False):
@@ -752,11 +772,14 @@ def routed_hier_spmv_df(A: RoutedMatHier, x: df.DF, *, interpret: bool = False):
             los.append(t.lo)
     yh = jnp.concatenate(his)
     yl = jnp.concatenate(los)
+    n = A.shape[0]
+    if A.unperm is None:
+        pad = n - yh.shape[0]
+        return df.DF(jnp.pad(yh, (0, pad)), jnp.pad(yl, (0, pad)))
     uh, ul = hier_net_apply(
         A.unperm,
         (_plane(yh, A.m_out), _plane(yl, A.m_out)),
         A.bl,
         interpret=interpret,
     )
-    n = A.shape[0]
     return df.DF(uh.reshape(A.m_out)[:n], ul.reshape(A.m_out)[:n])

@@ -298,3 +298,27 @@ def test_factored_scan_mode_matches_single_seg(monkeypatch):
     y1 = np.asarray(kf.factored_spmv(A1, x))
     y2 = np.asarray(kf.factored_spmv(A2, x))
     np.testing.assert_allclose(y1, y2, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_factored_routed_sigma_space_invariants(monkeypatch):
+    """The routed factored operator runs in a relabeled (sigma) row space;
+    permutation-invariant scalars must match the plain-mode operator."""
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import factored as kf
+
+    monkeypatch.setenv("LILAC_FACTORED_SEGMODE", "single")
+    A1, _ = kf.build_factored("S", dtype="f64")
+    monkeypatch.setenv("LILAC_FACTORED_SEGMODE", "routed")
+    monkeypatch.setenv("LILAC_DATA_DIR", "/tmp/lilac_sigma_test")
+    A2, _ = kf.build_factored("S", dtype="f64")
+    ones = jnp.ones(A1.s.shape[0], jnp.float64)
+    y1 = np.asarray(kf.factored_spmv(A1, ones))
+    y2 = np.asarray(kf.factored_spmv(A2, ones))
+    # ones is permutation-invariant: 1^T A 1 and ||A 1|| must agree
+    np.testing.assert_allclose(y1.sum(), y2.sum(), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.linalg.norm(y1), np.linalg.norm(y2), rtol=1e-12
+    )
+    np.testing.assert_allclose(np.sort(y1), np.sort(y2), rtol=1e-9, atol=1e-12)
