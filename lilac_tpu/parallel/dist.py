@@ -182,6 +182,10 @@ class DistSpmvPlan:
         dspec = P(ax, None, None, None) if self.data.ndim == 4 else P(ax, None, None)
         return (dspec, P(ax, None, None))
 
+    @property
+    def a_arrays(self):
+        return (self.data, self.indices)
+
     def vspec(self):
         return P(self.axis)
 
@@ -218,7 +222,7 @@ def dist_npb_power_method(plan: DistSpmvPlan, x0, shift: float, niter: int):
             check_vma=False,
         )
     )
-    return f((plan.data, plan.indices), x0)
+    return f(plan.a_arrays, x0)
 
 
 def dist_cg_solve(plan: DistSpmvPlan, b, *, maxit=100, rtol=1e-6):
@@ -245,4 +249,4 @@ def dist_cg_solve(plan: DistSpmvPlan, b, *, maxit=100, rtol=1e-6):
             check_vma=False,
         )
     )
-    return f((plan.data, plan.indices), b)
+    return f(plan.a_arrays, b)

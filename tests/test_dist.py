@@ -132,3 +132,67 @@ def test_halo_spmv_random_matrix():
     rows = np.repeat(np.arange(n), np.diff(indptr))
     dense[rows, indices] = data
     np.testing.assert_allclose(y, dense @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_dist_routed_matvec_matches_oracle(rng):
+    """Per-shard routing networks inside shard_map == dense oracle."""
+    import scipy.sparse as sp
+
+    from lilac_tpu.parallel.dist import dist_npb_power_method, make_mesh
+    from lilac_tpu.parallel.dist_routed import DistRoutedPlan
+
+    n, k = 96, 5
+    cols = np.stack([rng.choice(n, size=k, replace=False) for _ in range(n)])
+    valsm = rng.normal(size=(n, k))
+    A = sp.csr_matrix(
+        (valsm.ravel(), cols.ravel(), np.arange(0, n * k + 1, k)), shape=(n, n)
+    )
+    mesh = make_mesh(8)
+    plan = DistRoutedPlan.build(A.indptr, A.indices, A.data, A.shape, mesh, dtype="f32")
+    x = rng.normal(size=n)
+    xd = plan.vec_in(x)
+
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    f = jax.jit(
+        jax.shard_map(
+            lambda Al, xl: plan.local_matvec(Al, xl),
+            mesh=mesh,
+            in_specs=(plan.a_specs, P("x")),
+            out_specs=P("x"),
+            check_vma=False,
+        )
+    )
+    y = np.asarray(f((plan.masks, plan.vals), xd), dtype=np.float64)[:n]
+    np.testing.assert_allclose(y, A @ x, rtol=2e-5, atol=2e-5)
+
+
+def test_dist_routed_cg_df64(rng):
+    """Whole distributed CG through routed gathers, df64, vs scipy solve."""
+    import scipy.sparse as sp
+
+    from lilac_tpu.parallel.dist import dist_cg_solve, make_mesh
+    from lilac_tpu.parallel.dist_routed import DistRoutedPlan
+
+    n, k = 64, 4
+    cols = np.stack(
+        [
+            np.concatenate([[i], rng.choice(n, size=k - 1, replace=False)])
+            for i in range(n)
+        ]
+    )
+    valsm = rng.normal(size=(n, k)) * 0.1
+    valsm[:, 0] = 0.0
+    B = sp.csr_matrix(
+        (valsm.ravel(), cols.ravel(), np.arange(0, n * k + 1, k)), shape=(n, n)
+    )
+    A = (B + B.T) * 0.5 + sp.eye(n) * (k + 1.0)  # SPD
+    A = sp.csr_matrix(A)
+    mesh = make_mesh(8)
+    plan = DistRoutedPlan.build(A.indptr, A.indices, A.data, A.shape, mesh, dtype="df64")
+    b = plan.vec_in(np.ones(n))
+    x, it, rnorm = dist_cg_solve(plan, b, maxit=80, rtol=1e-12)
+    xh = plan.vec_out(x)
+    ref = sp.linalg.spsolve(A.tocsc(), np.ones(n))
+    np.testing.assert_allclose(xh, ref, rtol=1e-7, atol=1e-9)
