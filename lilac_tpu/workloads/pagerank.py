@@ -53,10 +53,11 @@ def run(
     dtype: str = "f32",
     seed: int = 0,
     x0: Optional[np.ndarray] = None,
+    kernel: str = "auto",
 ) -> PageRankResult:
     n = shape[0]
     scaled = normalise_columns(indptr, indices, data, shape) * d
-    plan = SpmvPlan(indptr, indices, scaled, shape, dtype=dtype)
+    plan = SpmvPlan(indptr, indices, scaled, shape, dtype=dtype, kernel=kernel)
 
     if x0 is None:
         rng = np.random.default_rng(seed)

@@ -47,3 +47,30 @@ def test_pagerank_converges_to_stationary(rng):
     # point the step difference vanishes
     assert r.error < 1e-10, r.error
     assert np.all(np.isfinite(r.x))
+
+
+def test_powerlaw_graph_properties(rng):
+    from lilac_tpu.generate.graphs import powerlaw_graph
+
+    indptr, indices, data, shape = powerlaw_graph(2000, avg_deg=8.0, seed=3)
+    n = shape[0]
+    counts = np.diff(indptr)
+    assert counts.sum() == len(indices) and (indices < n).all()
+    # heavy tail: max out-degree far above the mean
+    assert counts.max() > 8 * max(counts.mean(), 1.0)
+    # no self loops
+    rows = np.repeat(np.arange(n), counts)
+    assert (rows != indices).all()
+
+
+def test_pagerank_routed_matches_gather_kernel(rng):
+    from lilac_tpu.generate.graphs import powerlaw_graph
+    from lilac_tpu.workloads import pagerank
+
+    indptr, indices, data, shape = powerlaw_graph(1500, avg_deg=6.0, seed=1)
+    r1 = pagerank.run(indptr, indices, data, shape, iters=30, runs=1, dtype="f32")
+    r2 = pagerank.run(
+        indptr, indices, data, shape, iters=30, runs=1, dtype="f32",
+        kernel="routed",
+    )
+    np.testing.assert_allclose(r1.x, r2.x, rtol=2e-4, atol=1e-7)
