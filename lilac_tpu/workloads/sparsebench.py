@@ -336,8 +336,11 @@ def benchmark(size: int, *, maxit=100, rtol=1e-6, dtype="df64", seed=0,
     x0 = plan.vec_in(np.zeros(n))
 
     # chunked dispatch: long single executions exceed the TPU worker
-    # watchdog at multi-million-row sizes (same discipline as npb_cg)
-    chunk = min(maxit, max(1, (30_000_000) // max(n, 1)))
+    # watchdog at multi-million-row sizes (same discipline as npb_cg).
+    # Budget ~500M row-iterations per dispatch: with routed kernels that
+    # is a few seconds of device time, far under the watchdog, and avoids
+    # paying the ~60ms tunnel round-trip per chunk
+    chunk = min(maxit, max(1, (500_000_000) // max(n, 1)))
 
     @jax.jit
     def solve_to(As, b, state, limit):
