@@ -232,13 +232,22 @@ def dense_to_csr_arrays(dense: np.ndarray, tol: float = 0.0):
 
 def csr_to_bucket_ell_arrays(indptr, indices, data, shape, *, quantiles=(50, 90)):
     """Split rows into width-quantile buckets (host). Returns
-    (bucket_indices, bucket_values, inv_perm, widths) with numpy arrays."""
+    (bucket_indices, bucket_values, inv_perm, widths) with numpy arrays.
+
+    Above the top quantile the widths continue as a geometric ladder
+    (x4 per bucket) up to the max row length: heavy-tailed degree
+    distributions (power-law graphs) otherwise pad every tail row to the
+    global max — observed as a 149 GiB allocation on a 1M-node
+    scale-free graph whose hub row had 200k entries."""
     n = shape[0]
     counts = np.diff(indptr).astype(np.int64)
     kmax = int(counts.max()) if n else 0
-    cand = sorted(
-        {max(int(np.percentile(counts, q)), 1) for q in quantiles} | {kmax}
-    )
+    cand_set = {max(int(np.percentile(counts, q)), 1) for q in quantiles}
+    w = max(cand_set) if cand_set else 1
+    while w < kmax:
+        w = min(w * 4, kmax)
+        cand_set.add(w)
+    cand = sorted(cand_set | {kmax})
     perm = np.argsort(counts, kind="stable")
     inv_perm = np.empty(n, dtype=np.int64)
     inv_perm[perm] = np.arange(n)

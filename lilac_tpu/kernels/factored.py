@@ -116,7 +116,6 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
     if mode == "routed":
         from lilac_tpu.kernels.routed_spmv import (
             build_routed_csr,
-            build_routed_csr_seg,
             load_routed,
             save_routed,
         )
