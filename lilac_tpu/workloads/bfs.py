@@ -63,10 +63,13 @@ class BFSResult:
 
 
 def run_benchmark(
-    indptr, indices, data, shape, *, runs: int = 16, seed: int = 0
+    indptr, indices, data, shape, *, runs: int = 16, seed: int = 0,
+    kernel: str = "auto",
 ) -> BFSResult:
     """16 random-source BFS runs, wall-clock timed (bfs.cc:80-95)."""
-    plan = SpmvPlan(indptr, indices, np.ones_like(data), shape, dtype="f32")
+    plan = SpmvPlan(
+        indptr, indices, np.ones_like(data), shape, dtype="f32", kernel=kernel
+    )
     rng = np.random.default_rng(seed)
     sources = rng.integers(0, shape[0], size=runs)
     bfs_distances(plan, int(sources[0]))  # compile warm-up

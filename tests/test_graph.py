@@ -74,3 +74,16 @@ def test_pagerank_routed_matches_gather_kernel(rng):
         kernel="routed",
     )
     np.testing.assert_allclose(r1.x, r2.x, rtol=2e-4, atol=1e-7)
+
+
+def test_bfs_routed_matches_oracle(rng):
+    from lilac_tpu.generate.graphs import powerlaw_graph
+    from lilac_tpu.plan import SpmvPlan
+    from lilac_tpu.workloads.bfs import bfs_distances, bfs_oracle
+
+    g = powerlaw_graph(1200, avg_deg=5.0, seed=2, symmetric=True)
+    plan = SpmvPlan(g[0], g[1], np.ones_like(g[2]), g[3], dtype="f32",
+                    kernel="routed")
+    d = bfs_distances(plan, 7)
+    ref = bfs_oracle(*g, 7)
+    np.testing.assert_array_equal(d, ref)
