@@ -20,7 +20,18 @@ import time
 
 def main():
     t_start = time.time()
-    class_name = os.environ.get("LILAC_BENCH_CLASS", "C")
+    class_name = os.environ.get("LILAC_BENCH_CLASS")
+    if class_name is None:
+        # headline class D when its routed-plan cache is present (the
+        # networks build once, ~50 min of single-core host work, and are
+        # reused from data/ thereafter — measured full-bench wall 10.4 min);
+        # cold environments fall back to class C (~5 min wall)
+        here = os.path.dirname(os.path.abspath(__file__))
+        have_d = all(
+            os.path.exists(os.path.join(here, "data", f"routed_D_df64_{t}.npz"))
+            for t in ("V", "VT")
+        )
+        class_name = "D" if have_d else "C"
     dtype = os.environ.get("LILAC_BENCH_DTYPE", "df64")
     kernel = os.environ.get("LILAC_BENCH_KERNEL", "factored")
 
