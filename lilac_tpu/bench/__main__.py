@@ -33,11 +33,12 @@ def main(argv=None):
     pf.add_argument("--sizes", default="20,40,60")
     pf.add_argument("--kernels", default="auto,routed")
 
-    pg = sub.add_parser("graph-scale")  # synthetic scale-free PageRank
+    pg = sub.add_parser("graph-scale")  # synthetic scale-free PageRank/BFS
     pg.add_argument("--n", type=int, default=1_000_000)
     pg.add_argument("--avg-deg", type=float, default=16.0)
     pg.add_argument("--iters", type=int, default=128)
     pg.add_argument("--kernels", default="auto,routed")
+    pg.add_argument("--workload", default="pagerank", choices=["pagerank", "bfs"])
 
     args = p.parse_args(argv)
     if args.cmd == "devices":
@@ -107,19 +108,33 @@ def main(argv=None):
         return 0
     if args.cmd == "graph-scale":
         from lilac_tpu.generate.graphs import powerlaw_graph
-        from lilac_tpu.workloads import pagerank
 
-        print(f"generating power-law graph n={args.n} avg_deg={args.avg_deg}")
-        g = powerlaw_graph(args.n, avg_deg=args.avg_deg, seed=0)
+        sym = args.workload == "bfs"
+        print(
+            f"generating power-law graph n={args.n} avg_deg={args.avg_deg}"
+            f" symmetric={sym}"
+        )
+        g = powerlaw_graph(args.n, avg_deg=args.avg_deg, seed=0, symmetric=sym)
         nnz = len(g[1])
         for kernel in args.kernels.split(","):
-            r = pagerank.run(*g, iters=args.iters, runs=2, kernel=kernel)
-            t = min(r.times_s)
-            print(
-                f"  pagerank n={args.n} nnz={nnz} kernel={kernel:12s}"
-                f" {t:7.3f} s/run  {args.iters * nnz / t / 1e9:6.2f} Gnnz/s"
-                f"  err={r.error:.3e}"
-            )
+            if args.workload == "bfs":
+                from lilac_tpu.workloads import bfs as bfsw
+
+                r = bfsw.run_benchmark(*g, runs=16, kernel=kernel)
+                print(
+                    f"  bfs      n={args.n} nnz={nnz} kernel={kernel:12s}"
+                    f" {r.time_s:7.3f} s / 16 sources"
+                )
+            else:
+                from lilac_tpu.workloads import pagerank
+
+                r = pagerank.run(*g, iters=args.iters, runs=2, kernel=kernel)
+                t = min(r.times_s)
+                print(
+                    f"  pagerank n={args.n} nnz={nnz} kernel={kernel:12s}"
+                    f" {t:7.3f} s/run  {args.iters * nnz / t / 1e9:6.2f} Gnnz/s"
+                    f"  err={r.error:.3e}"
+                )
         return 0
     if args.cmd == "run":
         row = bench.run_bench(

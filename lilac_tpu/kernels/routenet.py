@@ -136,6 +136,35 @@ def benes_route_batched(perm: np.ndarray) -> List[Tuple[int, np.ndarray]]:
     return stages
 
 
+def _benes_stages(perm2d: np.ndarray) -> List[Tuple[int, np.ndarray]]:
+    """Beneš switch masks for a batch of permutations.
+
+    Prefers the native C constructor (sequential cycle-walk coloring,
+    ~20x the numpy pointer-jumping path: 1.6s vs ~30s at m = 2^21);
+    falls back to benes_route_batched. Colorings (hence masks) differ
+    between the two, but both realize the same permutations."""
+    try:
+        from lilac_tpu import native
+
+        ok = hasattr(native, "benes_route")
+    except Exception:  # pragma: no cover - build/toolchain missing
+        ok = False
+    if not ok:
+        return benes_route_batched(perm2d)
+    B, m = perm2d.shape
+    if m < 4:
+        return benes_route_batched(perm2d)
+    nlev = int(np.log2(m))
+    S = 2 * nlev - 1
+    masks = np.empty((S, B, m), dtype=bool)
+    for b in range(B):
+        masks[:, b, :] = native.benes_route(perm2d[b]).astype(bool)
+    dists = [m >> (lv + 1) for lv in range(nlev)] + [
+        m >> (nlev - lv) for lv in range(1, nlev)
+    ]
+    return list(zip(dists, masks))
+
+
 # ---------------------------------------------------------------------------
 # gather network = Beneš + run broadcast + Beneš
 # ---------------------------------------------------------------------------
@@ -215,7 +244,7 @@ def build_gather_network(
         src = np.nonzero(unassigned_src[b])[0]
         tgt = np.nonzero(~tgt_taken[b])[0]
         perm1[b, src] = tgt
-    stages1 = benes_route_batched(perm1)
+    stages1 = _benes_stages(perm1)
 
     # ---- broadcast: offset within run, copy from k - 2^msb(o)
     run_first = np.maximum.accumulate(
@@ -240,7 +269,7 @@ def build_gather_network(
         # positions T..m carry don't-care values; ordv values < T so the
         # tail identity mapping keeps perm2 a permutation
         pass
-    stages2 = benes_route_batched(perm2)
+    stages2 = _benes_stages(perm2)
 
     kinds: List[str] = []
     dists: List[int] = []

@@ -106,3 +106,24 @@ def mm_parse_body(path: str, skip_lines: int, nnz: int, pattern: bool):
     if k != nnz:
         raise ValueError(f"{path}: parsed {k} of {nnz} entries")
     return rows, cols, vals
+
+
+_lib.benes_route_c.restype = ctypes.c_int
+_lib.benes_route_c.argtypes = [
+    ctypes.c_int64,
+    np.ctypeslib.ndpointer(np.int32, flags="C"),
+    np.ctypeslib.ndpointer(np.uint8, flags="C"),
+]
+
+
+def benes_route(perm: np.ndarray) -> np.ndarray:
+    """Switch masks [S, m] uint8 for one permutation (C hot path;
+    kernels/routenet.py falls back to the numpy constructor without it)."""
+    perm = np.ascontiguousarray(perm, dtype=np.int32)
+    m = len(perm)
+    S = 2 * int(np.log2(m)) - 1 if m > 2 else 1
+    out = np.empty((S, m), dtype=np.uint8)
+    rc = _lib.benes_route_c(m, perm, out)
+    if rc != S:
+        raise RuntimeError(f"benes_route_c failed: {rc}")
+    return out
