@@ -27,6 +27,17 @@ from lilac_tpu.plan import SpmvPlan
 def bfs_distances(plan: SpmvPlan, source: int) -> np.ndarray:
     """Distances per the reference convention: source=1, neighbours=2, ...
     unreachable=0."""
+    run = _bfs_runner(plan)
+    return np.asarray(run(plan.A, jnp.int32(source)))
+
+
+def _bfs_runner(plan: SpmvPlan):
+    """One compiled BFS program per plan, reused across sources (a fresh
+    closure per call would re-trace and re-compile every time — measured
+    as 16 compiles dominating the 16-source benchmark)."""
+    cached = getattr(plan, "_bfs_run", None)
+    if cached is not None:
+        return cached
     n = plan.shape[0]
 
     @jax.jit
@@ -51,7 +62,8 @@ def bfs_distances(plan: SpmvPlan, source: int) -> np.ndarray:
         )
         return dist
 
-    return np.asarray(run(plan.A, source))
+    plan._bfs_run = run
+    return run
 
 
 @dataclasses.dataclass
