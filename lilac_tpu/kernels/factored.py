@@ -145,11 +145,12 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
                 # stages as butterfly/window passes, no column segments)
                 from lilac_tpu.kernels.routed_spmv import build_routed_csr_hier
 
+                hbl = int(_os.environ.get("LILAC_HIER_BL", str(1 << 16)))
                 V = build_routed_csr_hier(
-                    v_ip, v_ix, v_v, (n, n), dtype=dtype, verbose=True
+                    v_ip, v_ix, v_v, (n, n), dtype=dtype, bl=hbl, verbose=True
                 )
                 VT = build_routed_csr_hier(
-                    t_ip, t_ix, t_v, (n, n), dtype=dtype, verbose=True
+                    t_ip, t_ix, t_v, (n, n), dtype=dtype, bl=hbl, verbose=True
                 )
             save_routed(paths[0], V)
             save_routed(paths[1], VT)
