@@ -45,7 +45,9 @@ class SpmvPlan:
         *,
         dtype: str = "f32",
         kernel: str = "auto",
+        reuse: str = "once",
     ):
+        self.reuse = reuse
         self.shape = tuple(shape)
         self.nnz = int(len(indices))
         self.dtype = dtype
@@ -110,8 +112,18 @@ class SpmvPlan:
     def _select_kernel(self) -> str:
         """Kernel/format gate: the trained lilac_tpu.autotune model when one
         is installed (≙ the generated mkl-model.c SVC,
-        /root/reference/libspmv/mkl-model.c:152-165), else a heuristic."""
+        /root/reference/libspmv/mkl-model.c:152-165), else a heuristic.
+
+        Plans declared reuse="many" (iterative solvers, power methods)
+        amortize a plan-time network construction over thousands of
+        matvecs — on TPU those route instead of gathering (the SparseX
+        spx_mat_tune trade, libspmv/sparsex.c:68-70, made explicit)."""
         s = self.row_stats
+        if self.reuse == "many":
+            import jax as _jax
+
+            if _jax.default_backend() != "cpu" and self.shape[1] <= (1 << 18):
+                return "routed_df" if self.dtype == "df64" else "routed"
         spread = s["max_row"] > 1.5 * max(s["mean_row"], 1.0) + 4
         if self.dtype == "df64":
             return "xla_sell_df" if spread else "xla_ell_df"

@@ -80,7 +80,8 @@ def run_benchmark(
 ) -> BFSResult:
     """16 random-source BFS runs, wall-clock timed (bfs.cc:80-95)."""
     plan = SpmvPlan(
-        indptr, indices, np.ones_like(data), shape, dtype="f32", kernel=kernel
+        indptr, indices, np.ones_like(data), shape, dtype="f32", kernel=kernel,
+        reuse="many",
     )
     rng = np.random.default_rng(seed)
     sources = rng.integers(0, shape[0], size=runs)

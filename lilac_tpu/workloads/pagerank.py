@@ -57,7 +57,7 @@ def run(
 ) -> PageRankResult:
     n = shape[0]
     scaled = normalise_columns(indptr, indices, data, shape) * d
-    plan = SpmvPlan(indptr, indices, scaled, shape, dtype=dtype, kernel=kernel)
+    plan = SpmvPlan(indptr, indices, scaled, shape, dtype=dtype, kernel=kernel, reuse="many")
 
     if x0 is None:
         rng = np.random.default_rng(seed)
