@@ -538,11 +538,19 @@ def hier_gmax(bl: int, nplanes: int, budget: int = 14_000_000) -> int:
         if need > budget:
             break
         g += 1
-    return max(g, 0)
+    if g == 0:
+        raise ValueError(
+            f"block size bl={bl} too large for VMEM with {nplanes} planes: "
+            "even a pair butterfly pass does not fit — lower LILAC_HIER_BL"
+        )
+    return g
 
 
 def compile_hier(kinds, dists, masks_host, bl: int, *, gmax: int = 2):
     """Split one network's stage schedule into hierarchical passes.
+
+    gmax must be >= 1 (flush_outer pops at least one stage per pass; a
+    zero group size would spin forever).
 
     masks_host: [S, m] bool (one network). Returns a tuple of pass
     descriptors with device-resident mask arrays:
@@ -555,6 +563,7 @@ def compile_hier(kinds, dists, masks_host, bl: int, *, gmax: int = 2):
     R = bl // 128
     nblocks = m // bl
     nbits = int(np.log2(nblocks))
+    assert gmax >= 1
     assert nblocks * bl == m and nblocks & (nblocks - 1) == 0
 
     def flush_inner(buf, out):

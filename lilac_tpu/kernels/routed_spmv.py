@@ -95,12 +95,19 @@ def build_routed_csr(
     if sort_rows and np.array_equal(order, np.arange(n)):
         sort_rows = False  # already length-sorted: no un-permute needed
 
-    # greedy chunks over (sorted) rows: each chunk's K = its max length
+    # greedy chunks over the (possibly unsorted) row order: each chunk's
+    # K must cover the TRUE max length inside the chunk — with
+    # sort_rows=False the first row's count is NOT an upper bound, and a
+    # longer row would silently overflow into its neighbour's slots
     chunks = []
     i0 = 0
     while i0 < n:
         k_c = max(int(counts[order[i0]]), 1)
         rows_c = min(m // k_c, n - i0)
+        k_true = max(int(counts[order[i0 : i0 + rows_c]].max()), 1)
+        if k_true > k_c:
+            rows_c = min(m // k_true, n - i0)
+            k_c = max(int(counts[order[i0 : i0 + rows_c]].max()), 1)
         chunks.append((i0, rows_c, k_c))
         i0 += rows_c
     B = len(chunks)
@@ -122,9 +129,7 @@ def build_routed_csr(
     idx_all = np.zeros((B, m), dtype=np.int64)
     idx_all[b_e, t_e] = indices
     if dtype == "df64":
-        hi = data.astype(np.float32)
-        lo = (data - hi.astype(np.float64)).astype(np.float32)
-        dvals = np.stack([hi, lo], axis=-1)
+        dvals = df.split_f64_np(data)
     else:
         dvals = data.astype({"f32": np.float32, "f64": np.float64}[dtype])
     vals = np.zeros((B, m) + dvals.shape[1:], dtype=dvals.dtype)
@@ -172,10 +177,7 @@ def routed_spmv(A: RoutedMat, x: jax.Array, *, interpret: bool = False) -> jax.A
         interpret=interpret,
     )
     prod = A.vals * out.reshape(len(A.chunks), A.m)
-    parts = []
-    for c, (rows_c, k_c) in enumerate(A.chunks):
-        parts.append(jnp.sum(prod[c, : rows_c * k_c].reshape(rows_c, k_c), axis=1))
-    y = jnp.concatenate(parts)
+    y = _chunk_reduce(prod, A.chunks, A.m)
     if A.inv_perm is not None:
         from lilac_tpu.kernels.xla import pair_gather
 
@@ -269,9 +271,7 @@ def build_routed_csr_seg(
     rank[order] = np.arange(n)
 
     if dtype == "df64":
-        hi = data.astype(np.float32)
-        lo = (data - hi.astype(np.float64)).astype(np.float32)
-        dvals = np.stack([hi, lo], axis=-1)
+        dvals = df.split_f64_np(data)
     else:
         dvals = data.astype({"f32": np.float32, "f64": np.float64}[dtype])
 
@@ -359,11 +359,10 @@ def _chunk_reduce(prod_flat, chunks, m):
 def routed_seg_spmv(A: RoutedMatSeg, x: jax.Array, *, interpret: bool = False) -> jax.Array:
     n = A.shape[0]
     y = None
+    xp = jnp.pad(x, (0, A.m * len(A.masks) - x.shape[0]))
     for s in range(len(A.masks)):
         lo_c = s * A.seg_size
-        xs = jax.lax.dynamic_slice_in_dim(
-            jnp.pad(x, (0, A.m * len(A.masks) - x.shape[0])), lo_c, A.m, 0
-        )
+        xs = jax.lax.dynamic_slice_in_dim(xp, lo_c, A.m, 0)
         (out,) = rd.routed_apply(
             [xs.reshape(A.m // 128, 128)], A.masks[s], A.kinds[s], A.dists[s],
             interpret=interpret,
@@ -646,9 +645,7 @@ def build_routed_csr_hier(
     nnets = len(nets_chunks)
 
     if dtype == "df64":
-        hi = data.astype(np.float32)
-        lo = (data - hi.astype(np.float64)).astype(np.float32)
-        dvals = np.stack([hi, lo], axis=-1)
+        dvals = df.split_f64_np(data)
     else:
         dvals = data.astype({"f32": np.float32, "f64": np.float64}[dtype])
 
@@ -728,8 +725,7 @@ def build_routed_csr_hier(
     )
 
 
-def _plane(x, m):
-    return jnp.pad(x, (0, m - x.shape[0])).reshape(m // 128, 128)
+_plane = _pad_plane  # hierarchical section uses the same padding helper
 
 
 def routed_hier_spmv(A: RoutedMatHier, x, *, interpret: bool = False):

@@ -86,6 +86,17 @@ def _two_prod(a, b):
 # ---------------------------------------------------------------------------
 
 
+def split_f64_np(x: "np.ndarray") -> "np.ndarray":
+    """Host-side double-word split: f64 array -> [..., 2] (hi, lo) f32.
+
+    The one place that owns the rounding convention every builder uses
+    when staging df64 values (hi = round-to-f32, lo = exact residual)."""
+    x = np.asarray(x, dtype=np.float64)
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    return np.stack([hi, lo], axis=-1)
+
+
 def from_f64(x) -> DF:
     """Split host float64 data into an exact (hi, lo) f32 pair (on host)."""
     x = np.asarray(x, dtype=np.float64)

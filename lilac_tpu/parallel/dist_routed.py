@@ -71,9 +71,7 @@ class DistRoutedPlan:
         n_pad = ndev * rps
 
         if dtype == "df64":
-            hi = data.astype(np.float32)
-            lo = (data - hi.astype(np.float64)).astype(np.float32)
-            vals = np.stack([hi, lo], axis=-1)
+            vals = df.split_f64_np(data)
         else:
             vals = data.astype({"f32": np.float32, "f64": np.float64}[dtype])
 

@@ -256,3 +256,37 @@ def test_hier_cache_roundtrip(rng, tmp_path):
     y1 = np.asarray(rs.routed_hier_spmv(M, jnp.asarray(x), interpret=True))
     y2 = np.asarray(rs.routed_hier_spmv(M2, jnp.asarray(x), interpret=True))
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_routed_spmv_unsorted_varying_rows(rng):
+    """Regression: with sort_rows=False the chunk width must cover the
+    chunk's true max row length (a tridiagonal system's first row is
+    shorter than its interior rows — the old builder overflowed rows
+    into their neighbours' slots and corrupted the product)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from lilac_tpu.kernels import routed_spmv as rs
+
+    n = 200
+    A = sp.diags(
+        [rng.normal(size=n - 1), rng.normal(size=n), rng.normal(size=n - 1)],
+        [-1, 0, 1],
+    ).tocsr()
+    M = rs.build_routed_csr(
+        A.indptr, A.indices, A.data, A.shape, dtype="f32", sort_rows=False,
+        m=1024,
+    )
+    x = rng.normal(size=n).astype(np.float32)
+    y = np.asarray(rs.routed_spmv(M, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y, A @ x.astype(np.float64), rtol=2e-5, atol=2e-5)
+
+
+def test_hier_gmax_rejects_oversized_blocks():
+    import pytest as _pytest
+
+    from lilac_tpu.kernels import routed as rd
+
+    with _pytest.raises(ValueError):
+        rd.hier_gmax(1 << 19, 2)
+    assert rd.hier_gmax(1 << 16, 2) >= 1
