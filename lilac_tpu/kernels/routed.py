@@ -87,7 +87,12 @@ def _routed_kernel(kinds, dists, R, nplanes, *refs):
             for y in planes
         ]
     for o, y in zip(out_refs, planes):
-        o[0] = y
+        # [B, R, 128]-blocked out refs slice to (1, R, 128); per-block
+        # (R, 128) refs write directly — one kernel serves both callers
+        if len(o.shape) == 3:
+            o[0] = y
+        else:
+            o[:] = y
 
 
 def routed_apply(
@@ -214,39 +219,9 @@ def routed_apply_sliced(
     dtype = x_planes[0].dtype
     mrows = x_planes[0].shape[0]
 
-    def kern(*refs):
-        x_refs = refs[:nplanes]
-        masks_hbm = refs[nplanes]
-        out_refs = refs[nplanes + 1 : nplanes + 1 + nplanes]
-        scratch, sems = refs[-2], refs[-1]
-        b = pl.program_id(0)
-        rowid = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
-        laneid = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-
-        def mask_dma(slot, p):
-            return pltpu.make_async_copy(
-                masks_hbm.at[b, p], scratch.at[slot], sems.at[slot]
-            )
-
-        planes = [r[:] for r in x_refs]
-        if S:
-            mask_dma(0, 0).start()
-        plane_bits = None
-        for s in range(S):
-            p, bit = divmod(s, 8)
-            if bit == 0:
-                if p + 1 < P:
-                    mask_dma((p + 1) % 2, p + 1).start()
-                mask_dma(p % 2, p).wait()
-                plane_bits = scratch[p % 2].astype(jnp.int32)
-            mask = ((plane_bits >> bit) & 1) != 0
-            kind, d = kinds[s], dists[s]
-            planes = [
-                jnp.where(mask, _stage_partner(y, kind, d, R, rowid, laneid), y)
-                for y in planes
-            ]
-        for o, y in zip(out_refs, planes):
-            o[:] = y
+    kern = functools.partial(
+        _routed_kernel, tuple(kinds), tuple(dists), R, nplanes
+    )
 
     def in_map(b):
         return (_phys_expr(b, layout), 0)
