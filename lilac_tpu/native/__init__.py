@@ -24,9 +24,12 @@ def _build() -> str:
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
     cc = os.environ.get("CC", "cc")
-    cmd = [cc, "-O2", "-shared", "-fPIC", "-o", _SO + ".tmp", _SRC, "-lm"]
+    # per-process temp name: concurrent cold imports must not clobber each
+    # other's half-written .so before the atomic publish
+    tmp = f"{_SO}.{os.getpid()}.tmp"
+    cmd = [cc, "-O2", "-shared", "-fPIC", "-o", tmp, _SRC, "-lm"]
     subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(_SO + ".tmp", _SO)
+    os.replace(tmp, _SO)
     return _SO
 
 
@@ -49,6 +52,7 @@ _lib.sb_fill_matrix.argtypes = [
     ctypes.c_int,
     ctypes.c_uint64,
     ctypes.POINTER(ctypes.c_uint64),
+    ctypes.c_long,
     np.ctypeslib.ndpointer(np.int64, flags="C"),
     np.ctypeslib.ndpointer(np.int64, flags="C"),
     np.ctypeslib.ndpointer(np.float64, flags="C"),
@@ -84,16 +88,22 @@ def sb_fill_matrix(splits: np.ndarray, n: int, sym: bool, state: int):
     """
     splits = np.ascontiguousarray(splits, dtype=np.int64)
     cap = 40 * n + 16 * len(splits)  # generous: reference caps at 15n total
-    rows = np.empty(cap, dtype=np.int64)
-    cols = np.empty(cap, dtype=np.int64)
-    vals = np.empty(cap, dtype=np.float64)
-    diag = np.zeros(n, dtype=np.float64)
-    out_state = ctypes.c_uint64(0)
-    top = _lib.sb_fill_matrix(
-        splits, len(splits), n, int(sym), state, ctypes.byref(out_state),
-        rows, cols, vals, diag,
-    )
-    return rows[:top], cols[:top], vals[:top], diag, int(out_state.value)
+    # the C fill bounds-checks against cap and returns -1 on overflow (it
+    # never writes past the buffers); retry with a bigger allocation
+    for _ in range(4):
+        rows = np.empty(cap, dtype=np.int64)
+        cols = np.empty(cap, dtype=np.int64)
+        vals = np.empty(cap, dtype=np.float64)
+        diag = np.zeros(n, dtype=np.float64)
+        out_state = ctypes.c_uint64(0)
+        top = _lib.sb_fill_matrix(
+            splits, len(splits), n, int(sym), state, ctypes.byref(out_state),
+            cap, rows, cols, vals, diag,
+        )
+        if top >= 0:
+            return rows[:top], cols[:top], vals[:top], diag, int(out_state.value)
+        cap *= 4
+    raise MemoryError(f"sb_fill_matrix overflow: n={n} needs > {cap} entries")
 
 
 def mm_parse_body(path: str, skip_lines: int, nnz: int, pattern: bool):

@@ -80,15 +80,22 @@ static double sb_rand(void) {
 }
 
 static long sb_top;
+static long sb_cap;
+static int sb_overflow;
 static int64_t *sb_rows, *sb_cols;
 static double *sb_vals, *sb_diag;
 static int sb_sym;
 
 static void fill_elt(long block_i, long i, long j) {
   double rval = 2.0 * sb_rand() - 1.0;
-  sb_rows[sb_top] = i; sb_cols[sb_top] = j; sb_vals[sb_top] = rval; sb_top++;
-  if (!sb_sym) {
-    sb_rows[sb_top] = j; sb_cols[sb_top] = i; sb_vals[sb_top] = rval; sb_top++;
+  /* keep consuming the DLARAN stream on overflow (state must stay exact
+   * for the caller's own fallback decision), but never write past cap */
+  if (sb_top + (sb_sym ? 1 : 2) > sb_cap) { sb_overflow = 1; }
+  if (!sb_overflow) {
+    sb_rows[sb_top] = i; sb_cols[sb_top] = j; sb_vals[sb_top] = rval; sb_top++;
+    if (!sb_sym) {
+      sb_rows[sb_top] = j; sb_cols[sb_top] = i; sb_vals[sb_top] = rval; sb_top++;
+    }
   }
   if (i != j) {
     if (block_i == 0) rval = 1.1 * rval;
@@ -102,15 +109,18 @@ static long ceil_ref(double v) {
   return (long)v + 1;
 }
 
-/* splits: [nblocks, 4] (s1, s2, s3, direction); returns #entries written.
- * rows/cols/vals must hold >= cap entries; diag[n] accumulates.
- * Consumes the DLARAN stream from the given state; returns new state via
- * out_state. */
+/* splits: [nblocks, 4] (s1, s2, s3, direction); returns #entries written,
+ * or -1 if more than `cap` entries would be produced (nothing past cap is
+ * written; caller should retry with a larger buffer or fall back).
+ * diag[n] accumulates. Consumes the DLARAN stream from the given state;
+ * returns new state via out_state. */
 long sb_fill_matrix(const int64_t* splits, long nblocks, long n, int sym,
-                    uint64_t state_in, uint64_t* state_out,
+                    uint64_t state_in, uint64_t* state_out, long cap,
                     int64_t* rows, int64_t* cols, double* vals, double* diag) {
   sb_x = state_in;
   sb_top = 0;
+  sb_cap = cap;
+  sb_overflow = 0;
   sb_rows = rows; sb_cols = cols; sb_vals = vals; sb_diag = diag; sb_sym = sym;
   const double decay = 0.1, cutoff = 0.8, d = 3.0;
   const double inv_cut = 1.0 / cutoff;
@@ -169,7 +179,7 @@ long sb_fill_matrix(const int64_t* splits, long nblocks, long n, int sym,
     }
   }
   *state_out = sb_x;
-  return sb_top;
+  return sb_overflow ? -1 : sb_top;
 }
 
 /* --------------- MatrixMarket coordinate fast parser ------------------ */

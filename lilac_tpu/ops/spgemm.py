@@ -37,6 +37,10 @@ def gustavson(
     rows_idx = []
     rows_val = []
     acc = np.zeros(m, dtype=np.float64)
+    # occupancy is tracked with a marker array, NOT by testing acc for 0.0:
+    # an exact-zero product or a cancelling partial sum must not re-enter
+    # `touched` (would emit duplicate CSR entries)
+    mark = np.zeros(m, dtype=bool)
     touched = np.empty(m, dtype=np.int64)
     for i in range(n):
         ntouch = 0
@@ -45,8 +49,8 @@ def gustavson(
             av = a_val[k_pos]
             lo, hi = b_ptr[k], b_ptr[k + 1]
             cols = b_idx[lo:hi]
-            fresh = acc[cols] == 0.0
-            newcols = cols[fresh]
+            newcols = cols[~mark[cols]]
+            mark[newcols] = True
             touched[ntouch : ntouch + len(newcols)] = newcols
             ntouch += len(newcols)
             acc[cols] += av * b_val[lo:hi]
@@ -54,6 +58,7 @@ def gustavson(
         rows_idx.append(cols_i.copy())
         rows_val.append(acc[cols_i].copy())
         acc[cols_i] = 0.0
+        mark[cols_i] = False
         out_ptr[i + 1] = out_ptr[i] + len(cols_i)
     return (
         out_ptr,

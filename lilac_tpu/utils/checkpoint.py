@@ -71,6 +71,12 @@ def checkpointed_power_method(
     return np.asarray(zetas), x, start
 
 
+# jit closures are cached per (plan, alg, shift): jax.jit keys its compile
+# cache on function identity, so building a fresh closure per call would
+# recompile on every resume chunk (advisor r1 finding)
+_JIT_CACHE: dict = {}
+
+
 def npb_power_method_jit(plan, alg, x, shift, length):
     import functools
 
@@ -78,10 +84,15 @@ def npb_power_method_jit(plan, alg, x, shift, length):
 
     from lilac_tpu.solvers.cg import npb_power_method
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def run(A, x, length):
-        return npb_power_method(plan.matvec_with, alg, A, x, shift, length)
+    key = (id(plan), id(alg), float(shift))
+    run = _JIT_CACHE.get(key)
+    if run is None:
 
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def run(A, x, length):
+            return npb_power_method(plan.matvec_with, alg, A, x, shift, length)
+
+        _JIT_CACHE[key] = run
     return run(plan.A, x, length)
 
 

@@ -69,9 +69,14 @@ class PhaseTimers:
 
     @contextlib.contextmanager
     def section(self, name: str, fence_fn=None):
+        """Wall-clock section. NOTE: with the bare `with timers.section(x):`
+        form there is nothing to fence on (a generator-based context manager
+        receives None from `with`), so device work still in flight is NOT
+        awaited — pass fence_fn=lambda: <device value> to fence, or use
+        start()/stop(fence=...) directly (advisor r1 finding)."""
         self.start(name)
-        out = yield
-        self.stop(name, fence=out if fence_fn is None else fence_fn())
+        yield
+        self.stop(name, fence=None if fence_fn is None else fence_fn())
 
     def report(self) -> str:
         """NPB print_results-style card (common/print_results.f)."""
