@@ -1,61 +1,120 @@
 #!/usr/bin/env python
-"""Headline benchmark: NPB CG class C time-to-solution on one TPU chip.
+"""Headline benchmark: NPB CG time-to-solution on one TPU chip.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is the speedup over the reference suite's best harnessed backend
-for NPB CG class C (MKL, 51.82 s on the Intel rig,
-/root/reference/results/cgo/cgo_data.csv:6 — see BASELINE.md). Values > 1
+for the same NPB class (MKL on the Intel rig,
+/root/reference/results/cgo/cgo_data.csv — see BASELINE.md). Values > 1
 mean faster than the reference.
 
+Budget discipline (round-1 verdict #1): the driver allots an unknown finite
+wall budget, so this script
+  (a) enables JAX's persistent compilation cache under .jax_cache/ — the
+      dominant cold cost is a one-time multi-minute server-side compile
+      (measured 270 s cold vs 14 s warm for class A);
+  (b) climbs a class ladder A -> C -> D, keeping the best *completed*
+      verified result, and only starts the next class when the measured
+      remaining budget covers a measured-scaled prediction of its wall;
+  (c) arms a watchdog *thread* at the budget that prints the best-so-far
+      line and hard-exits — a partial ladder still yields a captured
+      number. (A SIGALRM handler is not enough: Python defers signal
+      handlers while the main thread is blocked in a native call, and the
+      long pole here IS a blocking native call — the remote compile.)
+Override with LILAC_BENCH_CLASS (single class, no ladder) and
+LILAC_BENCH_BUDGET_S (default 480).
+
 The run uses df64 (double-word f32) arithmetic so the result is *verified*
-(ζ rel err <= 1e-10) — we benchmark the honest f64-grade computation, not a
-loosened f32 one. Set LILAC_BENCH_CLASS / LILAC_BENCH_DTYPE to override.
+(zeta rel err <= 1e-10) — the honest f64-grade computation, not a loosened
+f32 one. LILAC_BENCH_DTYPE / LILAC_BENCH_KERNEL override.
 """
 
+import gc
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
+T0 = time.time()
+HERE = os.path.dirname(os.path.abspath(__file__))
 
-def main():
-    t_start = time.time()
-    class_name = os.environ.get("LILAC_BENCH_CLASS")
-    if class_name is None:
-        # headline class D when its routed-plan cache is present (the
-        # networks build once, ~50 min of single-core host work, and are
-        # reused from data/ thereafter — measured full-bench wall 10.4 min);
-        # cold environments fall back to class C (~5 min wall)
-        here = os.path.dirname(os.path.abspath(__file__))
-        have_d = all(
-            os.path.exists(os.path.join(here, "data", f"routed_D_df64_{t}.npz"))
-            for t in ("V", "VT")
-        )
-        class_name = "D" if have_d else "C"
-    dtype = os.environ.get("LILAC_BENCH_DTYPE", "df64")
-    kernel = os.environ.get("LILAC_BENCH_KERNEL", "factored")
+# reference best harnessed backend per class (results/cgo/cgo_data.csv)
+BASELINE_S = {
+    "S": 0.05,
+    "W": 0.08,
+    "A": 0.23,
+    "B": 19.48,
+    "C": 51.82,
+    "D": 2181.90,
+    # class E was never run by the reference (no published number); scale
+    # MKL class D by the NPB flop-model ratio E/D (~13.5x) as the bar.
+    "E": 29456.0,
+}
 
-    import jax  # noqa: F401  (platform from env: real TPU under the driver)
+# Walls measured this round on v5e via axon with warm compile cache
+# (cold adds a one-time ~4-5 min server init, absorbed by the first class).
+# Class D measured 676 s end-to-end even with its routed-plan cache: the
+# 2.1 GB plan load + 33M-triple regeneration + upload dominate its 98 s run.
+WARM_WALL_S = {"A": 15.0, "C": 55.0, "D": 650.0}
+
+_best = None  # best completed result line (dict)
+
+
+def _elapsed():
+    return time.time() - T0
+
+
+def _emit_and_exit(rc_hint=None):
+    """Print the best-so-far JSON line and hard-exit (the axon tunnel can
+    hang in interpreter teardown, so never rely on a clean exit)."""
+    global _best
+    if _best is None:
+        _best = {
+            "metric": "npb_cg_bench_incomplete",
+            "value": 0.0,
+            "unit": "s",
+            "vs_baseline": 0.0,
+            "error": "no class completed within budget",
+            "wall_total_s": round(_elapsed(), 1),
+        }
+    _best["wall_total_s"] = round(_elapsed(), 1)
+    print(json.dumps(_best), flush=True)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    rc = rc_hint
+    if rc is None:
+        rc = 0 if _best.get("verified") else 1
+    os._exit(rc)
+
+
+def _watchdog(deadline):
+    """Daemon thread: unlike a SIGALRM handler, this runs even while the
+    main thread is blocked in a GIL-releasing native call (remote compile,
+    npz load) — exactly when the budget is most likely to be blown."""
+    while True:
+        left = deadline - time.time()
+        if left <= 0:
+            print("bench: budget watchdog fired, emitting best-so-far",
+                  file=sys.stderr)
+            _emit_and_exit()
+        time.sleep(min(left, 2.0))
+
+
+def _run_class(class_name, dtype, kernel):
+    """Run one class; returns (line dict, wall seconds)."""
+    import jax  # noqa: F401
 
     from lilac_tpu.workloads import npb_cg
 
+    t0 = time.time()
     res = npb_cg.run(class_name, dtype=dtype, kernel=kernel)
-
-    baseline_s = {
-        # reference best harnessed backend per class (cgo_data.csv)
-        "S": 0.05,
-        "W": 0.08,
-        "A": 0.23,
-        "B": 19.48,
-        "C": 51.82,
-        "D": 2181.90,
-    }[res.class_name]
-
+    wall = time.time() - t0
     line = {
         "metric": f"npb_cg_class{res.class_name}_time_to_solution",
         "value": round(res.time_s, 4),
         "unit": "s",
-        "vs_baseline": round(baseline_s / res.time_s, 2),
+        "vs_baseline": round(BASELINE_S[res.class_name] / res.time_s, 2),
         "verified": bool(res.verified),
         "zeta_rel_err": float(f"{res.rel_err:.3e}"),
         "mops": round(res.mops, 1),
@@ -63,16 +122,67 @@ def main():
         "kernel": res.kernel,
         "nnz": res.nnz,
         "device": str(jax.devices()[0]),
-        "wall_total_s": round(time.time() - t_start, 1),
+        "class_wall_s": round(wall, 1),
     }
-    print(json.dumps(line), flush=True)
-    return 0 if res.verified or dtype == "f32" else 1
+    return line, wall
+
+
+def main():
+    global _best
+    budget = float(os.environ.get("LILAC_BENCH_BUDGET_S", "480"))
+    dtype = os.environ.get("LILAC_BENCH_DTYPE", "df64")
+    kernel = os.environ.get("LILAC_BENCH_KERNEL", "factored")
+    forced = os.environ.get("LILAC_BENCH_CLASS")
+
+    # budget safety nets: watchdog thread (works under blocked native
+    # calls) + SIGTERM handler (driver's first, polite, kill)
+    signal.signal(signal.SIGTERM, lambda s, f: _emit_and_exit())
+    threading.Thread(
+        target=_watchdog, args=(T0 + max(30.0, budget - 10.0),), daemon=True
+    ).start()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    if forced:
+        line, _ = _run_class(forced, dtype, kernel)
+        if line["verified"] or dtype == "f32":
+            _best = line
+        _emit_and_exit(0 if line["verified"] or dtype == "f32" else 1)
+
+    ladder = ["A", "C", "D"]
+    for i, cls in enumerate(ladder):
+        line, wall = _run_class(cls, dtype, kernel)
+        print(f"bench: class {cls} wall {wall:.1f}s -> {line['value']}s "
+              f"(x{line['vs_baseline']})", file=sys.stderr)
+        if line["verified"]:
+            _best = line
+        else:
+            # an unverified rung is a bug, not a budget issue — report the
+            # best verified rung (or the failure) rather than climbing on
+            break
+        if i + 1 >= len(ladder):
+            break
+        gc.collect()
+        nxt = ladder[i + 1]
+        # measured-scaled prediction: this rung's warm-cache baseline vs its
+        # actual wall calibrates compile/tunnel slowness; the first rung's
+        # one-time cold-server init (~4-5 min) is excluded via the offset
+        slow = max(1.0, (wall if i else min(wall, WARM_WALL_S[cls] * 2.0))
+                   / WARM_WALL_S[cls])
+        pred = WARM_WALL_S[nxt] * slow
+        remaining = budget - _elapsed()
+        if remaining < 1.25 * pred + 15.0:
+            print(f"bench: stopping ladder at {cls} (next={nxt} pred "
+                  f"{pred:.0f}s, remaining {remaining:.0f}s)", file=sys.stderr)
+            break
+    _emit_and_exit()
 
 
 if __name__ == "__main__":
-    rc = main()
-    # the axon tunnel runtime can hang in interpreter teardown after the
-    # result is already printed; exit hard so the driver never waits on it
-    sys.stdout.flush()
-    sys.stderr.flush()
-    os._exit(rc)
+    main()

@@ -779,3 +779,12 @@ def routed_hier_spmv_df(A: RoutedMatHier, x: df.DF, *, interpret: bool = False):
         interpret=interpret,
     )
     return df.DF(uh.reshape(A.m_out)[:n], ul.reshape(A.m_out)[:n])
+
+
+# -- registry entries (the SpmvPlan surface dispatches through these) -------
+from lilac_tpu.kernels.registry import register_kernel  # noqa: E402
+
+register_kernel("routed", routed_spmv, RoutedMat)
+register_kernel("routed_df", routed_spmv_df, RoutedMat, dfloat=True)
+register_kernel("routed_hier", routed_hier_spmv, RoutedMatHier)
+register_kernel("routed_hier_df", routed_hier_spmv_df, RoutedMatHier, dfloat=True)

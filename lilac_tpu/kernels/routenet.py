@@ -21,10 +21,10 @@ with partner = i XOR d (Beneš exchange) or i - d (broadcast shift), d a
 power of two. Switch masks depend only on idx — computed here once,
 applied on device by kernels/routed.py. All-zero stages are dropped.
 
-This replaces the recursive constructor in kernels/routing.py with a fully
-vectorized level-batched one (the recursion spent its time in millions of
-tiny sub-problems; here every level is one numpy pass over [B, m] arrays,
-and independent networks are batched on the leading axis).
+Construction is fully vectorized and level-batched (a recursive
+per-subproblem constructor spends its time in millions of tiny
+sub-problems; here every level is one numpy pass over [B, m] arrays, and
+independent networks are batched on the leading axis).
 
 Reference counterpart: none — the reference suite leans on vendor gather
 hardware (MKL/cuSPARSE, /root/reference/libspmv/mkl.c:71, gpu.c:270); this

@@ -183,7 +183,23 @@ def bucket_ell_spmv_df(A: BucketELL, x: df.DF) -> df.DF:
     return df.DF(out[..., 0], out[..., 1])
 
 
-register_kernel("xla_sell", bucket_ell_spmv, BucketELL)
+def bucket_ell_spmv_t(A: BucketELL, x: jax.Array) -> jax.Array:
+    """y = A.T @ x: scatter x back into bucket-row order (inverse of the
+    forward kernel's final unpermute), then per-bucket scatter-add of
+    v·x_row into the column space. Pad rows land on zeros."""
+    nb = sum(v.shape[0] for v in A.data)
+    xb = jnp.zeros(nb, x.dtype).at[A.inv_perm].set(x[: A.shape[0]])
+    out = jnp.zeros(A.shape[1], A.data[0].dtype)
+    off = 0
+    for v, i in zip(A.data, A.indices):
+        xs = jax.lax.slice_in_dim(xb, off, off + v.shape[0])
+        out = out.at[i.ravel()].add((v * xs[:, None]).ravel())
+        off += v.shape[0]
+    return out
+
+
+register_kernel("xla_sell", bucket_ell_spmv, BucketELL,
+                transpose=bucket_ell_spmv_t)
 register_kernel("xla_sell_df", bucket_ell_spmv_df, BucketELL, dfloat=True)
 
 

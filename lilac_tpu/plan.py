@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from lilac_tpu.formats import convert
 from lilac_tpu.formats.sparse import CSR, ELL
-from lilac_tpu.kernels import xla as _xla
+from lilac_tpu.kernels import xla as _xla  # noqa: F401  (registers kernels)
 from lilac_tpu.ops import dfloat as df
 
 
@@ -68,10 +68,6 @@ class SpmvPlan:
             self.A = convert.ell_device(
                 indptr, indices, data, shape, dtype=jt, row_pad=8
             )
-            if dtype == "bf16":
-                import dataclasses as _dc
-
-                self.A = _dc.replace(self.A, data=self.A.data.astype(jnp.bfloat16))
         elif kernel == "xla_ell_df":
             hi = data.astype(np.float32)
             lo = (data - hi.astype(np.float64)).astype(np.float32)
@@ -79,10 +75,10 @@ class SpmvPlan:
             v, c = convert.csr_to_ell_arrays(indptr, indices, vals, shape, row_pad=8)
             self.A = ELL(data=jnp.asarray(v), indices=jnp.asarray(c), shape=self.shape)
         elif kernel == "xla_csr":
-            jt = {"f32": np.float32, "f64": np.float64}[dtype]
+            jt = {"f32": np.float32, "f64": np.float64, "bf16": np.float32}[dtype]
             self.A = convert.csr_device(indptr, indices, data, shape, dtype=jt)
         elif kernel == "xla_sell":
-            jt = {"f32": np.float32, "f64": np.float64}[dtype]
+            jt = {"f32": np.float32, "f64": np.float64, "bf16": np.float32}[dtype]
             self.A = convert.bucket_ell_device(indptr, indices, data, shape, dtype=jt)
         elif kernel == "xla_sell_df":
             hi = data.astype(np.float32)
@@ -108,6 +104,19 @@ class SpmvPlan:
             self.kernel = kernel = base + ("_df" if vdt == "df64" else "")
         else:
             raise ValueError(f"kernel {kernel!r} not wired into SpmvPlan yet")
+
+        if dtype == "bf16":
+            # bf16 value policy: store matrix values (and any staged float
+            # planes) in bfloat16; accumulation stays in the kernel's
+            # compute dtype. One tree-level cast covers every container.
+            import jax
+
+            self.A = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                self.A,
+            )
 
     def _select_kernel(self) -> str:
         """Kernel/format gate: the trained lilac_tpu.autotune model when one
@@ -156,40 +165,26 @@ class SpmvPlan:
 
     def matvec_with(self, A, x):
         """Pure matvec with the container passed explicitly (for jit args)."""
-        if self.kernel == "xla_ell":
-            return _xla.ell_spmv(A, x)
-        if self.kernel == "xla_ell_df":
-            return _xla.ell_spmv_df(A, x)
-        if self.kernel == "xla_csr":
-            return _xla.csr_spmv(A, x)
-        if self.kernel == "xla_sell":
-            return _xla.bucket_ell_spmv(A, x)
-        if self.kernel == "xla_sell_df":
-            return _xla.bucket_ell_spmv_df(A, x)
-        if self.kernel == "routed":
-            from lilac_tpu.kernels.routed_spmv import routed_spmv
+        from lilac_tpu.kernels.registry import get_kernel
 
-            return routed_spmv(A, x)
-        if self.kernel == "routed_df":
-            from lilac_tpu.kernels.routed_spmv import routed_spmv_df
-
-            return routed_spmv_df(A, x)
-        if self.kernel == "routed_hier":
-            from lilac_tpu.kernels.routed_spmv import routed_hier_spmv
-
-            return routed_hier_spmv(A, x)
-        if self.kernel == "routed_hier_df":
-            from lilac_tpu.kernels.routed_spmv import routed_hier_spmv_df
-
-            return routed_hier_spmv_df(A, x)
-        raise ValueError(self.kernel)
+        return get_kernel(self.kernel).fn(A, x)
 
     def matvec_t_with(self, A, x):
-        if self.kernel == "xla_ell":
-            return _xla.ell_spmv_t(A, x)
-        if self.kernel == "xla_csr":
-            return _xla.csr_spmv_t(A, x)
-        raise ValueError(f"transpose not available for {self.kernel}")
+        """y = A^T x, via the registry's transpose slot. Kernels without a
+        scatter-add transpose (the df64 and routed families, whose
+        compensated/staged accumulation has no order-preserving scatter
+        form) raise — build the transpose as its own forward plan with
+        transposed_plan()."""
+        from lilac_tpu.kernels.registry import get_kernel
+
+        t = get_kernel(self.kernel).transpose
+        if t is None:
+            raise ValueError(
+                f"kernel {self.kernel!r} has no registered transpose; "
+                "use lilac_tpu.plan.transposed_plan(...) to stage A^T as "
+                "its own forward plan"
+            )
+        return t(A, x)
 
     def matvec(self, x):
         return self.matvec_with(self.A, x)
@@ -199,6 +194,28 @@ class SpmvPlan:
 
     def __call__(self, x):
         return self.matvec(x)
+
+
+def transposed_plan(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    shape: Tuple[int, int],
+    **kw,
+) -> SpmvPlan:
+    """Stage A^T as its own forward SpmvPlan (host CSR -> CSC transpose).
+
+    This is the first-class route to the transpose product for kernels
+    whose forward accumulation has no scatter form (df64 compensated sums,
+    routed networks): both directions stay on the fast forward path, at
+    the cost of a second plan's device memory — the same trade the
+    reference's BiCG dodges by silently substituting A for A^T
+    (SURVEY.md section 3.5; we keep honest semantics)."""
+    from lilac_tpu.formats.convert import coo_to_csr_arrays
+
+    rows = np.repeat(np.arange(shape[0], dtype=np.int64), np.diff(indptr))
+    t_ip, t_ix, t_v = coo_to_csr_arrays(indices, rows, data, (shape[1], shape[0]))
+    return SpmvPlan(t_ip, t_ix, t_v, (shape[1], shape[0]), **kw)
 
 
 class FactoredNPBPlan:

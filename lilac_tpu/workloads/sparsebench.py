@@ -323,14 +323,13 @@ def benchmark(size: int, *, maxit=100, rtol=1e-6, dtype="df64", seed=0,
 
     indptr, indices, data, shape = random_crs(size, seed=seed)
     n = shape[0]
+    from lilac_tpu.plan import transposed_plan
+
     plan = SpmvPlan(indptr, indices, data, shape, dtype=dtype, kernel=kernel)
     # true-transpose operator as its own forward plan (BiCG needs A^T p;
     # a transposed plan keeps both directions on the fast gather path)
-    from lilac_tpu.formats.convert import coo_to_csr_arrays
-
-    rows = np.repeat(np.arange(n), np.diff(indptr))
-    t_ip, t_ix, t_v = coo_to_csr_arrays(indices, rows, data, (n, n))
-    plan_t = SpmvPlan(t_ip, t_ix, t_v, (n, n), dtype=dtype, kernel=kernel)
+    plan_t = transposed_plan(indptr, indices, data, shape, dtype=dtype,
+                             kernel=kernel)
     alg = get_algebra(dtype)
     b = plan.vec_in(np.ones(n))
     x0 = plan.vec_in(np.zeros(n))

@@ -23,18 +23,6 @@ def test_batched_benes_realizes_random_permutations(m, rng):
     np.testing.assert_array_equal(got, np.broadcast_to(np.arange(m), (B, m)))
 
 
-def test_batched_benes_matches_recursive(rng):
-    from lilac_tpu.kernels import routing as rt
-
-    m = 128
-    perm = rng.permutation(m)
-    stages_b = rn.benes_route_batched(perm[None])
-    y = rt.apply_stages_np(
-        np.arange(m), [(d, mk[0]) for d, mk in stages_b]
-    )
-    np.testing.assert_array_equal(y[perm], np.arange(m))
-
-
 @pytest.mark.parametrize("n,T", [(50, 50), (100, 300), (64, 64), (200, 37)])
 def test_gather_network_random(n, T, rng):
     B = 3

@@ -322,3 +322,41 @@ def test_factored_routed_sigma_space_invariants(monkeypatch):
         np.linalg.norm(y1), np.linalg.norm(y2), rtol=1e-12
     )
     np.testing.assert_allclose(np.sort(y1), np.sort(y2), rtol=1e-9, atol=1e-12)
+
+
+def test_bucket_ell_transpose(small_csr, rng):
+    arrs, shape, x, xt, y_ref, yt_ref = _oracle(small_csr, rng)
+    A = convert.bucket_ell_device(*arrs, shape)
+    yt = kx.bucket_ell_spmv_t(A, jnp.asarray(xt))
+    np.testing.assert_allclose(np.asarray(yt), yt_ref, rtol=1e-12)
+
+
+@pytest.mark.parametrize("kernel", ["xla_ell", "xla_csr", "xla_sell"])
+def test_plan_matvec_t_via_registry(small_csr, rng, kernel):
+    arrs, shape, x, xt, y_ref, yt_ref = _oracle(small_csr, rng)
+    plan = SpmvPlan(*arrs, shape, dtype="f64", kernel=kernel)
+    yt = plan.matvec_t(jnp.asarray(xt))
+    np.testing.assert_allclose(np.asarray(yt), yt_ref, rtol=1e-12)
+
+
+def test_transposed_plan_matches_oracle(small_csr, rng):
+    from lilac_tpu.plan import transposed_plan
+
+    arrs, shape, x, xt, y_ref, yt_ref = _oracle(small_csr, rng)
+    # df64 has no registered transpose: the first-class route is a
+    # transposed forward plan
+    plan = SpmvPlan(*arrs, shape, dtype="df64", kernel="xla_ell_df")
+    with pytest.raises(ValueError, match="transposed_plan"):
+        plan.matvec_t(plan.vec_in(xt))
+    pt = transposed_plan(*arrs, shape, dtype="df64", kernel="xla_ell_df")
+    yt = pt.vec_out(pt.matvec(pt.vec_in(xt)))
+    np.testing.assert_allclose(yt, yt_ref, rtol=1e-13)
+
+
+@pytest.mark.parametrize("kernel", ["xla_ell", "xla_csr", "xla_sell"])
+def test_plan_bf16_policy(small_csr, rng, kernel):
+    arrs, shape, x, xt, y_ref, yt_ref = _oracle(small_csr, rng)
+    plan = SpmvPlan(*arrs, shape, dtype="bf16", kernel=kernel)
+    y = plan.vec_out(plan.matvec(plan.vec_in(x)))
+    # bf16 has ~8 significand bits; gathered-sum error is a few ulps
+    np.testing.assert_allclose(y, y_ref, rtol=0.05, atol=0.05)
