@@ -8,7 +8,9 @@ maxit=10 / rtol=1e-6 on the exactly-regenerated test matrix and report
 `reference_results` (iterations exact, residual within 5%).
 
 Structures: 1 = regular 7-point 3D stencil, 2 = random CRS.
-Preconditioners: 0 = none, 2 = ILU-D, 3 = block-Jacobi (structure 1 only).
+Preconditioners: 0 = none, 2 = ILU-D, 3 = block-Jacobi (structure 1 only),
+4 = line-ILU (structure 1 only, iter.f:360-369 — not in the golden table;
+validated against the loop-level oracle in tests instead).
 Symmetric cases run CG (iter_symm.f), unsymmetric run GMRES(restart=maxit)
 (iter.f; the Test harness pipes method=2, /root/reference/SparseBench/Test:84).
 
@@ -87,8 +89,11 @@ def build_case(sym: str, size: int, structure: int, precond: int):
             size, sym=is_sym, bjacobi=(precond == 3)
         )
     elif structure == 2:
-        if precond == 3:
-            raise ValueError("block-Jacobi is structure-1 only (main_symm.f:228)")
+        if precond in (3, 4):
+            raise ValueError(
+                "block-Jacobi/line-ILU are structure-1 only "
+                "(main_symm.f:228, iter.f:371-373)"
+            )
         system = gen.crs_system(size, sym=is_sym)
         Lcsr, Ucsr = system["L"], system["U"]
     else:
@@ -113,6 +118,10 @@ def build_case(sym: str, size: int, structure: int, precond: int):
     elif precond == 1:
         dinv = jnp.asarray(1.0 / system["diag"])
         psolve = lambda x: dinv * x  # noqa: E731  (pointwise Jacobi)
+    elif precond == 4:
+        from lilac_tpu.solvers.line_ilu import LineILU
+
+        psolve = LineILU.build(system["bands"]).apply
     return matvec, psolve, n, len(indices)
 
 
