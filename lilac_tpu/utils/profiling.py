@@ -136,6 +136,52 @@ class FlopLedger:
         return "\n".join(lines)
 
 
+def spmv_traffic_bytes(plan) -> dict:
+    """Honest per-matvec HBM traffic for a staged SpmvPlan (r1 verdict #2).
+
+    Every device leaf of the staged container is streamed exactly once per
+    matvec (values, indices, bit-packed mask planes, ...), so the container
+    itself is the traffic model's ground truth — no per-format formula to
+    get wrong. Kernel families then add their true intermediates:
+
+      xla_* gather kernels: one gathered-x read per stored element
+        (worst case, no VMEM reuse — the classic 12B/nnz model's x term);
+      routed*: the slot-product planes (vals-shaped) are written by the
+        network program and re-read by the chunk reduce, and the
+        un-permute is one more read+write of y. Mask-plane traffic needs
+        no special case: the masks ARE container leaves.
+
+    Returns component bytes + 'total'; feed total to roofline().
+    """
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(plan.A)
+    a_bytes = int(sum(v.size * np.dtype(v.dtype).itemsize for v in leaves))
+    n, ncols = plan.shape
+    vit = 8 if plan.dtype in ("f64", "df64") else 4
+    x_bytes = ncols * vit
+    y_bytes = n * vit
+    extra = 0
+    k = plan.kernel
+    if k.startswith("xla"):
+        extra = plan.nnz * vit
+    elif k.startswith("routed") or k == "factored":
+        vals = getattr(plan.A, "vals", None)
+        if vals is not None:
+            vleaves = jax.tree_util.tree_leaves(vals)
+            vals_bytes = int(
+                sum(v.size * np.dtype(v.dtype).itemsize for v in vleaves)
+            )
+        else:
+            vals_bytes = plan.nnz * vit
+        extra = 2 * vals_bytes + 2 * y_bytes
+    total = a_bytes + x_bytes + y_bytes + extra
+    return dict(
+        container=a_bytes, x=x_bytes, y=y_bytes, intermediates=extra,
+        total=total,
+    )
+
+
 def roofline(bytes_moved: float, flops: float, time_s: float) -> dict:
     """Achieved vs ceiling rates for one measured region."""
     spec = chip_spec()
