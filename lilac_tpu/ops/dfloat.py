@@ -40,35 +40,66 @@ class DF(NamedTuple):
 _SPLIT = 4097.0  # 2^12 + 1 for f32 (24-bit mantissa -> 12+12 split)
 
 # Error-free transformations are numerically load-bearing: every
-# intermediate must be the exactly-rounded f32 result. XLA's HLO optimizer
-# algebraically cancels patterns like `s - a` after `s = a + b` when the
-# whole chain fuses, silently turning the compensated arithmetic back into
-# plain f32 (measured: jitted df64 CG stalled at residual 6e-6 while the
-# op-by-op execution of the SAME code reached 2.6e-12). An
-# optimization_barrier on each EFT's primary result makes it opaque to the
-# simplifier; the remaining ops still fuse.
-_eft_barrier = jax.lax.optimization_barrier
+# intermediate must be the exactly-rounded f32 result. Two compiler layers
+# can silently break that:
+#
+#  1. XLA's HLO algebraic simplifier cancels patterns like `s - a` after
+#     `s = a + b` (measured: jitted df64 CG stalled at residual 6e-6 while
+#     op-by-op execution of the SAME code reached 2.6e-12). An
+#     optimization_barrier on each EFT intermediate blocks this.
+#  2. On XLA:CPU, optimization_barriers are EXPANDED AWAY before codegen,
+#     and the fusion emitter clones producer multiplies into each consumer
+#     fusion, where LLVM contracts `a*b +/- c` into FMAs. A product such as
+#     two_prod's `p = a*b` then has INCONSISTENT values across its uses
+#     (exact inside one fusion's fma, rounded elsewhere), which voids the
+#     Dekker/Knuth identities at ulp level. Measured round 2: a compiled
+#     df64 CG returned an x with true residual 5.7e-7 while its recursive
+#     residual read 5.9e-12; disabling the `fusion` HLO pass restored
+#     1e-13, pinning the blame on fused codegen, not HLO algebra. The fix
+#     is lax.reduce_precision(x, 8, 23) — an f32 identity, but a real HLO
+#     op that survives to codegen and cuts the contraction window.
+#
+# reduce_precision is applied only on the CPU backend: TPU codegen honors
+# the HLO rounding semantics (round-1 on-chip NPB zeta verified at 1e-14
+# with plain barriers) and the extra op would cost VPU cycles in the hot
+# df64 kernels for nothing.
+def _eft_barrier(x):
+    x = jax.lax.optimization_barrier(x)
+    if jax.default_backend() == "cpu":
+        x = jax.lax.reduce_precision(x, 8, 23)
+    return x
 
 
 def _two_sum(a, b):
-    """Knuth TwoSum: s + e == a + b exactly."""
+    """Knuth TwoSum: s + e == a + b exactly.
+
+    Every intermediate difference is barriered, not just the sum: the
+    simplifier pattern-matches pure algebra — sub(s, sub(s, a)) -> a fires
+    even when s is opaque, because the rewrite needs only structural
+    equality of the two s uses. Round 2 found exactly that: a 15-iteration
+    jitted df64 CG stalled at true residual 8.6e-8 while the op-by-op
+    execution of the same code reached 4e-14, with the divergence
+    appearing only once >= 2 iterations compiled together (larger graphs
+    reach the rewrite's fuel/threshold). Barriers on each EFT difference
+    make every cancellation-bearing value opaque.
+    """
     s = _eft_barrier(a + b)
-    bb = s - a
-    e = (a - (s - bb)) + (b - bb)
+    bb = _eft_barrier(s - a)
+    e = (a - _eft_barrier(s - bb)) + (b - bb)
     return s, e
 
 
 def _quick_two_sum(a, b):
     """Fast TwoSum, requires |a| >= |b|."""
     s = _eft_barrier(a + b)
-    e = b - (s - a)
+    e = b - _eft_barrier(s - a)
     return s, e
 
 
 def _split(a):
     t = _eft_barrier(_SPLIT * a)
-    ahi = t - (t - a)
-    alo = a - ahi
+    ahi = t - _eft_barrier(t - a)
+    alo = a - _eft_barrier(ahi)
     return ahi, alo
 
 
@@ -77,7 +108,7 @@ def _two_prod(a, b):
     p = _eft_barrier(a * b)
     ahi, alo = _split(a)
     bhi, blo = _split(b)
-    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    e = (_eft_barrier(ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
     return p, e
 
 

@@ -5,15 +5,21 @@ shard references most columns (NPB CG's uniformly random pattern). For
 matrices with column locality (stencils: SparseBench structure=1,
 regular meshes — the reference's `regular.f` family), each shard's column
 footprint outside its own block is a thin halo; gathering everything wastes
-ICI bandwidth. This plan precomputes, per (source, destination) shard pair,
-exactly which x entries travel, and exchanges them with a lax.ppermute
-ring — the TPU-native form of the MPI-NPB halo bookkeeping the serial
-reference inherited (cg.f:116-119) but never exercised.
+ICI bandwidth. This plan precomputes, per ring distance k, exactly which
+x entries travel, and exchanges them with lax.ppermute — the TPU-native
+form of the MPI-NPB halo bookkeeping the serial reference inherited
+(cg.f:116-119) but never exercised.
 
-Ghost layout: received segments concatenate after the local block (uniform
-pad H per pair), and ELL column ids are remapped at plan-build time into
-the [local | ghost] space — so the device matvec is gather-free beyond the
-usual ELL gather, with zero scatter.
+Per-DISTANCE halos: the exchange for ring distance k is padded to
+H_k = max over source shards of that distance's segment, and distances
+nobody references are skipped entirely — a 1-D-sharded stencil therefore
+does exactly two neighbour ppermutes (k = 1 and ndev-1) instead of
+ndev-1 max-padded ones, and the ghost region is the true two-plane halo.
+
+Ghost layout: kept distances' segments concatenate after the local block
+in distance order, and ELL column ids are remapped at plan-build time
+into the [local | ghost] space — so the device matvec is gather-free
+beyond the usual ELL gather, with zero scatter.
 """
 
 from __future__ import annotations
@@ -31,6 +37,64 @@ from lilac_tpu.solvers.algebra import get_algebra
 from lilac_tpu.parallel.dist import DistAlg
 
 
+def halo_tables(ev, ec, ndev: int, rps: int):
+    """Per-distance halo bookkeeping from the row-block ELL split.
+
+    ev/ec: [ndev, rps, K] ELL values / global column ids.
+    Returns (dist_ks, halos, send_tbls, new_ec):
+      dist_ks : kept ring distances (k: src s -> dst (s+k) % ndev)
+      halos   : H_k per kept distance
+      send_tbls: [ndev, H_k] int64 local positions each src sends at k
+      new_ec  : ELL ids remapped into [local rps | ghost segments]
+    """
+    owner = ec // rps
+    needed = {}  # (dst, src) -> sorted unique local positions on src
+    for d in range(ndev):
+        used_mask = ev != 0.0 if ev.ndim == 3 else (ev[..., 0] != 0.0)
+        for s in range(ndev):
+            if s == d:
+                continue
+            sel = used_mask[d] & (owner[d] == s)
+            cols = np.unique(ec[d][sel]) if sel.any() else np.empty(0, np.int64)
+            needed[(d, s)] = cols - s * rps
+
+    dist_ks, halos, send_tbls = [], [], []
+    for k in range(1, ndev):
+        H_k = max(len(needed[((s + k) % ndev, s)]) for s in range(ndev))
+        if H_k == 0:
+            continue
+        tbl = np.zeros((ndev, H_k), dtype=np.int64)
+        for s in range(ndev):
+            pos = needed[((s + k) % ndev, s)]
+            tbl[s, : len(pos)] = pos
+        dist_ks.append(k)
+        halos.append(H_k)
+        send_tbls.append(tbl)
+
+    # ghost offsets per kept distance
+    off = {}
+    acc = rps
+    for k, H_k in zip(dist_ks, halos):
+        off[k] = acc
+        acc += H_k
+
+    new_ec = np.zeros_like(ec)
+    for d in range(ndev):
+        local = owner[d] == d
+        new_ec[d] = np.where(local, ec[d] - d * rps, 0)
+        for k in dist_ks:
+            s = (d - k) % ndev
+            pos = needed[(d, s)]
+            lookup = np.zeros(rps, dtype=np.int64)
+            lookup[pos] = off[k] + np.arange(len(pos))
+            sel = owner[d] == s
+            new_ec[d] = np.where(
+                sel, lookup[np.clip(ec[d] - s * rps, 0, rps - 1)], new_ec[d]
+            )
+        # padding slots (value 0) may point anywhere valid
+    return tuple(dist_ks), tuple(halos), send_tbls, new_ec
+
+
 @dataclasses.dataclass
 class HaloSpmvPlan:
     """Row-block ELL plan with ring halo exchange (f32/f64)."""
@@ -39,12 +103,22 @@ class HaloSpmvPlan:
     axis: str
     data: jax.Array  # [ndev, rps, K]
     indices: jax.Array  # [ndev, rps, K] int32 ids into [local | ghost]
-    send_tbl: jax.Array  # [ndev, ndev-1, H] int32 local positions to send
+    send_tbls: Tuple[jax.Array, ...]  # per kept distance [ndev, H_k] int32
+    dist_ks: Tuple[int, ...]
+    halos: Tuple[int, ...]
     shape: Tuple[int, int]
     n_pad: int
     rps: int
-    halo: int  # H
     dtype: str
+
+    @property
+    def halo(self) -> int:
+        """Largest per-distance halo (0 when no exchange is needed)."""
+        return max(self.halos, default=0)
+
+    @property
+    def total_ghost(self) -> int:
+        return sum(self.halos)
 
     @staticmethod
     def build(indptr, indices, data, shape, mesh, *, dtype="f32", axis="x"):
@@ -61,51 +135,24 @@ class HaloSpmvPlan:
         ev = ev.reshape(ndev, rps, K)
         ec = ec.reshape(ndev, rps, K).astype(np.int64)
 
-        # per (dst, src) needed columns; H = max over pairs
-        owner = ec // rps
-        needed = {}  # (dst, src) -> sorted unique local positions on src
-        for d in range(ndev):
-            used_mask = ev[d] != 0.0
-            for s in range(ndev):
-                if s == d:
-                    continue
-                sel = used_mask & (owner[d] == s)
-                cols = np.unique(ec[d][sel]) if sel.any() else np.empty(0, np.int64)
-                needed[(d, s)] = cols - s * rps
-        H = max((len(v) for v in needed.values()), default=0)
-        H = max(H, 1)
+        dist_ks, halos, send_tbls, new_ec = halo_tables(ev, ec, ndev, rps)
 
-        send_tbl = np.zeros((ndev, ndev - 1, H), dtype=np.int64)
-        for s in range(ndev):
-            for k in range(1, ndev):
-                dsh = (s + k) % ndev
-                pos = needed[(dsh, s)]
-                send_tbl[s, k - 1, : len(pos)] = pos
-
-        # remap ELL ids into [local(rps) | ghosts((ndev-1)*H)]
-        new_ec = np.zeros_like(ec)
-        for d in range(ndev):
-            local = owner[d] == d
-            new_ec[d] = np.where(local, ec[d] - d * rps, 0)
-            for k in range(1, ndev):
-                s = (d - k) % ndev
-                pos = needed[(d, s)]
-                lookup = np.full(rps, 0, dtype=np.int64)
-                lookup[pos] = rps + (k - 1) * H + np.arange(len(pos))
-                sel = owner[d] == s
-                new_ec[d] = np.where(sel, lookup[np.clip(ec[d] - s * rps, 0, rps - 1)], new_ec[d])
-            # padding slots (value 0) may point anywhere valid
         sh3 = NamedSharding(mesh, P(axis, None, None))
+        sh2 = NamedSharding(mesh, P(axis, None))
         return HaloSpmvPlan(
             mesh=mesh,
             axis=axis,
             data=jax.device_put(jnp.asarray(ev), sh3),
             indices=jax.device_put(jnp.asarray(new_ec, dtype=jnp.int32), sh3),
-            send_tbl=jax.device_put(jnp.asarray(send_tbl, dtype=jnp.int32), sh3),
+            send_tbls=tuple(
+                jax.device_put(jnp.asarray(t, dtype=jnp.int32), sh2)
+                for t in send_tbls
+            ),
+            dist_ks=dist_ks,
+            halos=halos,
             shape=tuple(shape),
             n_pad=n_pad,
             rps=rps,
-            halo=H,
             dtype=dtype,
         )
 
@@ -123,15 +170,19 @@ class HaloSpmvPlan:
 
     # -- per-shard matvec (call INSIDE shard_map) --------------------------
 
-    def local_matvec(self, A_local, x_local):
-        data, idx, send = A_local
+    def ghost_concat(self, x_local, sends):
+        """x_ext = [local | per-distance ghosts] via ppermute ring legs."""
         ndev = self.mesh.shape[self.axis]
         ghosts = []
-        for k in range(1, ndev):
-            buf = x_local[send[0, k - 1]]
+        for k, send in zip(self.dist_ks, sends):
+            buf = x_local[send[0]]
             perm = [(i, (i + k) % ndev) for i in range(ndev)]
             ghosts.append(jax.lax.ppermute(buf, self.axis, perm))
-        x_ext = jnp.concatenate([x_local] + ghosts) if ghosts else x_local
+        return jnp.concatenate([x_local] + ghosts) if ghosts else x_local
+
+    def local_matvec(self, A_local, x_local):
+        data, idx = A_local[0], A_local[1]
+        x_ext = self.ghost_concat(x_local, A_local[2:])
         gathered = x_ext[idx[0]]
         return jnp.sum(data[0] * gathered, axis=1)
 
@@ -141,7 +192,13 @@ class HaloSpmvPlan:
     @property
     def a_specs(self):
         ax = self.axis
-        return (P(ax, None, None), P(ax, None, None), P(ax, None, None))
+        return (P(ax, None, None), P(ax, None, None)) + tuple(
+            P(ax, None) for _ in self.send_tbls
+        )
+
+    @property
+    def a_arrays(self):
+        return (self.data, self.indices) + self.send_tbls
 
     def vspec(self):
         return P(self.axis)
@@ -160,4 +217,4 @@ def halo_matvec(plan: HaloSpmvPlan, x):
             check_vma=False,
         )
     )
-    return f((plan.data, plan.indices, plan.send_tbl), x)
+    return f(plan.a_arrays, x)

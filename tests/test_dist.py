@@ -196,3 +196,98 @@ def test_dist_routed_cg_df64(rng):
     xh = plan.vec_out(x)
     ref = sp.linalg.spsolve(A.tocsc(), np.ones(n))
     np.testing.assert_allclose(xh, ref, rtol=1e-7, atol=1e-9)
+
+
+def test_dist_routed_heavy_tail_rows(rng):
+    """v2: per-shard chunked networks + per-shard un-permute on a matrix
+    with heavy-tailed row lengths (the v1 plan required uniform rows)."""
+    import scipy.sparse as sp
+
+    from lilac_tpu.parallel.dist import make_mesh
+    from lilac_tpu.parallel.dist_routed import DistRoutedPlan
+
+    n = 128
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        k = 40 if i % 17 == 0 else (1 + int(rng.integers(0, 4)))
+        c = rng.choice(n, size=min(k, n), replace=False)
+        rows.extend([i] * len(c))
+        cols.extend(c.tolist())
+        vals.extend(rng.normal(size=len(c)).tolist())
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    mesh = make_mesh(8)
+    plan = DistRoutedPlan.build(A.indptr, A.indices, A.data, A.shape, mesh, dtype="f32")
+    assert plan.inv_perm is not None  # heavy tail forces the sorted layout
+    assert len(plan.chunks) >= 1
+    x = rng.normal(size=n)
+
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    f = jax.jit(
+        jax.shard_map(
+            plan.local_matvec,
+            mesh=mesh,
+            in_specs=(plan.a_specs, P("x")),
+            out_specs=P("x"),
+            check_vma=False,
+        )
+    )
+    y = np.asarray(f(plan.a_arrays, plan.vec_in(x)), dtype=np.float64)[:n]
+    np.testing.assert_allclose(y, A @ x, rtol=3e-5, atol=3e-5)
+
+
+def test_halo_routed_stencil_matches_oracle():
+    """Halo exchange x routed gather == dense oracle; the network table is
+    the [local | ghost] vector, far smaller than the all-gathered x."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from lilac_tpu.generate.stencil import seven_point_csr
+    from lilac_tpu.parallel.dist import make_mesh
+    from lilac_tpu.parallel.dist_routed import HaloRoutedPlan
+
+    indptr, indices, data, shape = seven_point_csr(8, 8, 8)
+    mesh = make_mesh(8)
+    plan = HaloRoutedPlan.build(indptr, indices, data, shape, mesh, dtype="f32")
+    # the whole point: table (rps + ghosts) well under the full vector,
+    # and only the two z-neighbour ring distances actually exchange
+    assert plan.rps + plan.total_ghost < shape[0]
+    assert plan.dist_ks == (1, 7)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=shape[0])
+    f = jax.jit(
+        jax.shard_map(
+            plan.local_matvec,
+            mesh=mesh,
+            in_specs=(plan.a_specs, P("x")),
+            out_specs=P("x"),
+            check_vma=False,
+        )
+    )
+    y = np.asarray(f(plan.a_arrays, plan.vec_in(x)), dtype=np.float64)
+    n = shape[0]
+    dense = np.zeros((n, n))
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    dense[rows, indices] = data
+    np.testing.assert_allclose(y[:n], dense @ x, rtol=3e-5, atol=3e-5)
+
+
+def test_halo_routed_df64_cg():
+    """df64 halo-routed CG on the SPD stencil vs scipy direct solve."""
+    import scipy.sparse as sp
+
+    from lilac_tpu.generate.stencil import seven_point_csr
+    from lilac_tpu.parallel.dist import dist_cg_solve, make_mesh
+    from lilac_tpu.parallel.dist_routed import HaloRoutedPlan
+
+    indptr, indices, data, shape = seven_point_csr(6, 6, 6)
+    mesh = make_mesh(8)
+    plan = HaloRoutedPlan.build(indptr, indices, data, shape, mesh, dtype="df64")
+    n = shape[0]
+    b = plan.vec_in(np.ones(n))
+    x, it, rnorm = dist_cg_solve(plan, b, maxit=120, rtol=1e-12)
+    A = sp.csr_matrix((data, indices, indptr), shape=shape)
+    ref = sp.linalg.spsolve(A.tocsc(), np.ones(n))
+    np.testing.assert_allclose(plan.vec_out(x), ref, rtol=1e-8, atol=1e-10)
