@@ -59,6 +59,7 @@ BASELINE_S = {
 WARM_WALL_S = {"A": 15.0, "C": 55.0, "D": 650.0}
 
 _best = None  # best completed result line (dict)
+_phase = "startup"  # what the run was doing when/if the watchdog fires
 
 
 def _elapsed():
@@ -75,7 +76,7 @@ def _emit_and_exit(rc_hint=None):
             "value": 0.0,
             "unit": "s",
             "vs_baseline": 0.0,
-            "error": "no class completed within budget",
+            "error": f"no class completed within budget (stuck in: {_phase})",
             "wall_total_s": round(_elapsed(), 1),
         }
     _best["wall_total_s"] = round(_elapsed(), 1)
@@ -148,6 +149,15 @@ def main():
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    # device init is its own phase: when the axon tunnel is unreachable,
+    # jax.devices() blocks indefinitely (observed: 5h outage 2026-08-17)
+    # and the emitted error should say so rather than "no class completed"
+    global _phase
+    _phase = "device-init (axon tunnel)"
+    dev = jax.devices()[0]
+    print(f"bench: device {dev} up at {_elapsed():.1f}s", file=sys.stderr)
+    _phase = "benchmark"
 
     if forced:
         line, _ = _run_class(forced, dtype, kernel)

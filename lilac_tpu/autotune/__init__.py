@@ -166,6 +166,103 @@ def predict(nrows, nnz, mean_row, std_row) -> Optional[str]:
     return m.predict(features(nrows, nnz, mean_row, std_row))
 
 
+def corpus_v2(max_n: int = 250_000, seeds: int = 3):
+    """Round-2 corpus: a few hundred matrices spanning the reference's
+    SuiteSparse axes (results/cgo/all_matrices.csv spans 1e2..1e7 rows,
+    densities 1e-6..1e-1, row-spread from stencil-uniform to web-graph
+    power-law; no egress here, so each axis is generated).
+
+    Yields (name, (indptr, indices, data, shape)) lazily — callers that
+    time on-device should iterate and discard to bound host memory.
+    """
+    from lilac_tpu.formats.convert import coo_to_csr_arrays
+    from lilac_tpu.generate.graphs import powerlaw_graph
+    from lilac_tpu.generate.random_crs import random_crs
+    from lilac_tpu.generate.stencil import seven_point_csr
+
+    # 3D 7-point stencils (uniform rows, ELL-perfect)
+    for side in (8, 12, 16, 20, 25, 30, 36, 42, 50, 58, 62):
+        if side**3 <= max_n:
+            yield f"st3d_{side}", seven_point_csr(side, side, side)
+    # anisotropic 3D + 2D 5-point sheets (n3=1 kills the k-axis couplings)
+    for dims in ((64, 16, 8), (128, 32, 4), (256, 64, 2), (512, 16, 16),
+                 (100, 100, 1), (224, 224, 1), (350, 350, 1), (500, 500, 1),
+                 (2048, 32, 1), (8192, 8, 1)):
+        n = dims[0] * dims[1] * dims[2]
+        if n <= max_n:
+            yield f"st_{dims[0]}x{dims[1]}x{dims[2]}", seven_point_csr(*dims)
+    # banded (uniform K = bw)
+    for n in (4096, 16384, 65536, 200_000):
+        for bw in (3, 5, 9, 17, 33, 65):
+            if n > max_n:
+                continue
+            offs = np.arange(-(bw // 2), bw // 2 + 1)
+            rows = np.repeat(np.arange(n), bw)
+            cols = (rows.reshape(n, bw) + offs).clip(0, n - 1).ravel()
+            vals = np.random.default_rng(n + bw).normal(size=n * bw)
+            yield f"band{n}_{bw}", coo_to_csr_arrays(rows, cols, vals, (n, n)) + ((n, n),)
+    # big_gen-style random CRS (Poisson-ish spread), several densities
+    for size in (8, 12, 16, 20, 24, 28, 32, 36, 40, 46, 52, 58, 62):
+        for mean, std in ((3.0, 2.0), (5.0, 4.0), (9.0, 6.0), (15.0, 8.0)):
+            if size**3 <= max_n:
+                for s in range(seeds):
+                    yield (f"rc{size}_m{int(mean)}_s{s}",
+                           random_crs(size, seed=17 * s + size, mean_nnz=mean,
+                                      std_nnz=std))
+    # power-law graphs (heavy-tailed rows — the SELL/routed regime)
+    for n in (4096, 16384, 65536, 150_000):
+        for deg in (4, 8, 16):
+            for alpha in (1.9, 2.3):
+                for s in range(max(1, seeds - 1)):
+                    if n <= max_n:
+                        yield (f"pl{n}_d{deg}_a{alpha}_s{s}",
+                               powerlaw_graph(n, avg_deg=deg, alpha=alpha,
+                                              seed=n + deg + 1000 * s))
+    # NPB makea factor patterns V / V^T (Poisson row spread on VT side)
+    from lilac_tpu.generate.npb import CLASSES, _generate_triples
+
+    for cname in ("S", "W"):
+        cls = CLASSES[cname]
+        if cls.na > max_n:
+            continue
+        nzv_arr, ivc, _vc = _generate_triples(cls)
+        rows_i = np.repeat(np.arange(cls.na, dtype=np.int64), nzv_arr)
+        pos_j = (ivc - 1).astype(np.int64)
+        vv = np.random.default_rng(3).normal(size=len(rows_i))
+        sh = (cls.na, cls.na)
+        yield f"npbV_{cname}", coo_to_csr_arrays(rows_i, pos_j, vv, sh) + (sh,)
+        yield f"npbVT_{cname}", coo_to_csr_arrays(pos_j, rows_i, vv, sh) + (sh,)
+    # block-dense diagonals (BSR-friendly, perfectly uniform)
+    for nb, b in ((256, 8), (512, 16), (1024, 32), (4096, 8), (2048, 16)):
+        n = nb * b
+        if n > max_n:
+            continue
+        base = np.arange(nb, dtype=np.int64)[:, None, None] * b
+        rows = (base + np.arange(b)[:, None]).repeat(b, axis=2).ravel()
+        cols = np.broadcast_to(base + np.arange(b)[None, :], (nb, b, b)).ravel()
+        vals = np.random.default_rng(b).normal(size=nb * b * b)
+        yield f"bdiag{nb}x{b}", coo_to_csr_arrays(rows, cols, vals, (n, n)) + ((n, n),)
+    # bimodal spread: most rows tiny, a hot minority wide (web-ish)
+    for n in (8192, 65536, 200_000):
+        for hotfrac, hotk in ((0.1, 128), (0.02, 400)):
+            if n > max_n:
+                continue
+            rng = np.random.default_rng(n + hotk)
+            counts = np.full(n, 2, dtype=np.int64)
+            hot = rng.choice(n, size=max(1, int(n * hotfrac)), replace=False)
+            counts[hot] = hotk
+            rows = np.repeat(np.arange(n), counts)
+            cols = rng.integers(0, n, size=counts.sum())
+            vals = rng.normal(size=len(cols))
+            yield (f"bimod{n}_{hotk}",
+                   coo_to_csr_arrays(rows, cols, vals, (n, n)) + ((n, n),))
+    # near-diagonal / ultra-sparse
+    for n in (10_000, 100_000):
+        idx = np.arange(n, dtype=np.int64)
+        vals = np.random.default_rng(1).normal(size=n)
+        yield f"diag{n}", coo_to_csr_arrays(idx, idx, vals, (n, n)) + ((n, n),)
+
+
 def default_corpus(max_n: int = 200_000):
     """Generated matrix corpus standing in for the reference's SuiteSparse
     download set (results/cgo/all_matrices.csv — this environment has no
@@ -219,4 +316,109 @@ def build_default_model(
     if verbose:
         acc = np.mean([model.predict(x) == l for x, l in zip(X, y)])
         print(f"model saved to {path}; train accuracy {acc:.2f}")
+    return model
+
+
+def collect_rows(
+    jsonl_path: str,
+    kernels: Sequence[str] = ("xla_ell", "xla_sell", "xla_csr", "routed"),
+    *,
+    max_n: int = 250_000,
+    dtype: str = "f32",
+    reps: int = 20,
+    budget_s: Optional[float] = None,
+    verbose: bool = True,
+):
+    """Time the corpus_v2 matrices on the current device, appending one JSON
+    row per matrix to jsonl_path (resumable: already-present names are
+    skipped, so an interrupted collection continues where it stopped).
+
+    This is the results/cgo/run_all collection step
+    (/root/reference/results/cgo/suite.py:75-109 consumed 2,757 SuiteSparse
+    timings); here the corpus is generated (no egress) and the kernel set
+    includes the routed family, which round 1's model omitted."""
+    t0 = time.time()
+    done = set()
+    if os.path.exists(jsonl_path):
+        with open(jsonl_path) as f:
+            for ln in f:
+                try:
+                    done.add(json.loads(ln)["name"])
+                except Exception:
+                    pass
+    n_new = 0
+    for name, (indptr, indices, data, shape) in corpus_v2(max_n=max_n):
+        if name in done:
+            continue
+        if budget_s is not None and time.time() - t0 > budget_s:
+            if verbose:
+                print(f"collect_rows: budget reached after {n_new} new rows")
+            break
+        counts = np.diff(indptr)
+        feat = features(
+            shape[0], len(indices), float(counts.mean()), float(counts.std())
+        )
+        times = measure(
+            indptr, indices, data, shape, kernels, dtype=dtype, reps=reps
+        )
+        if not times:
+            continue
+        row = dict(
+            name=name,
+            feat=[float(v) for v in feat],
+            times={k: float(v) for k, v in times.items()},
+            nrows=int(shape[0]),
+            nnz=int(len(indices)),
+        )
+        with open(jsonl_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        n_new += 1
+        if verbose:
+            best = min(times, key=times.get)
+            print(f"  {name:16s} -> {best:10s} " + " ".join(
+                f"{k}={v*1e3:.3f}ms" for k, v in sorted(times.items())),
+                flush=True)
+    return n_new
+
+
+def build_model_v2(
+    jsonl_path: str,
+    path: str = DEFAULT_MODEL_PATH,
+    *,
+    holdout: float = 0.25,
+    seed: int = 0,
+    verbose: bool = True,
+) -> LinearSelector:
+    """Train from collected rows with a held-out split and record test
+    accuracy in the model JSON (the reference's train/test protocol,
+    suite.py:97-102; round-1 verdict flagged train-accuracy-only)."""
+    rows = [json.loads(ln) for ln in open(jsonl_path)]
+    X = np.asarray([r["feat"] for r in rows])
+    y = [min(r["times"], key=r["times"].get) for r in rows]
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(rows))
+    n_test = max(1, int(len(rows) * holdout))
+    test, tr = idx[:n_test], idx[n_test:]
+    model = train(X[tr], [y[i] for i in tr])
+    acc_tr = float(np.mean([model.predict(X[i]) == y[i] for i in tr]))
+    acc_te = float(np.mean([model.predict(X[i]) == y[i] for i in test]))
+    # refit on everything for the shipped weights; report the held-out
+    # number measured before the refit
+    model = train(X, y)
+    model.save(path)
+    meta = json.load(open(path))
+    meta["meta"] = dict(
+        corpus_rows=len(rows),
+        holdout_frac=holdout,
+        train_accuracy=round(acc_tr, 4),
+        test_accuracy=round(acc_te, 4),
+        label_counts={c: int(y.count(c)) for c in sorted(set(y))},
+        source=os.path.basename(jsonl_path),
+    )
+    with open(path, "w") as f:
+        json.dump(meta, f, indent=1)
+    if verbose:
+        print(f"model v2 saved to {path}: rows={len(rows)} "
+              f"train_acc={acc_tr:.3f} held-out_acc={acc_te:.3f} "
+              f"labels={meta['meta']['label_counts']}")
     return model

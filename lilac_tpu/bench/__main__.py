@@ -40,7 +40,92 @@ def main(argv=None):
     pg.add_argument("--kernels", default="auto,routed")
     pg.add_argument("--workload", default="pagerank", choices=["pagerank", "bfs"])
 
+    pi = sub.add_parser("ingest")  # at-scale file ingestion: read->plan->solve
+    pi.add_argument("--n", type=int, default=1_000_000)
+    pi.add_argument("--avg-deg", type=float, default=13.0)
+    pi.add_argument("--format", default="mtx", choices=["mtx", "crs"])
+    pi.add_argument("--kernel", default="auto")
+    pi.add_argument("--iters", type=int, default=64)
+
+    pc = sub.add_parser("autotune-collect")  # ≙ results/cgo/run_all
+    pc.add_argument("--rows", default="data/autotune_rows.jsonl")
+    pc.add_argument("--kernels", default="xla_ell,xla_sell,xla_csr,routed")
+    pc.add_argument("--max-n", type=int, default=250_000)
+    pc.add_argument("--budget-s", type=float, default=None)
+    pc.add_argument("--reps", type=int, default=20)
+
+    pt = sub.add_parser("autotune-train")  # ≙ results/cgo/suite.py
+    pt.add_argument("--rows", default="data/autotune_rows.jsonl")
+    pt.add_argument("--out", default=None)
+    pt.add_argument("--holdout", type=float, default=0.25)
+
     args = p.parse_args(argv)
+    if args.cmd == "ingest":
+        # The reference's graph benches consume real on-disk matrices
+        # (10 SuiteSparse graphs, bfs/run_all:3); no egress here, so the
+        # file is generated once at the same scale, then the FULL
+        # read -> plan -> solve path is timed from disk.
+        import os
+        import time
+
+        from lilac_tpu.generate.graphs import powerlaw_graph
+        from lilac_tpu.io import readers
+        from lilac_tpu.plan import SpmvPlan
+        from lilac_tpu.workloads import pagerank
+
+        data_dir = os.environ.get("LILAC_DATA_DIR", "data")
+        os.makedirs(data_dir, exist_ok=True)
+        path = os.path.join(
+            data_dir, f"ingest_{args.n}_{int(args.avg_deg)}.{args.format}"
+        )
+        if not os.path.exists(path):
+            print(f"generating + writing {path} (one-time)…", flush=True)
+            g = powerlaw_graph(args.n, avg_deg=args.avg_deg, seed=7)
+            t0 = time.perf_counter()
+            if args.format == "mtx":
+                readers.write_matrix_market(path, *g)
+            else:
+                readers.write_sparsebench_crs(path, *g)
+            print(f"  write: {time.perf_counter()-t0:.1f}s "
+                  f"({os.path.getsize(path)/1e6:.0f} MB)")
+        t0 = time.perf_counter()
+        if args.format == "mtx":
+            indptr, indices, vals, shape = readers.read_matrix_market(path)
+        else:
+            indptr, indices, vals, shape = readers.read_sparsebench_crs(path)
+        t_read = time.perf_counter() - t0
+        nnz = len(indices)
+        print(f"  read:  {t_read:.2f}s  ({nnz} nnz, "
+              f"{os.path.getsize(path)/1e6/t_read:.0f} MB/s)")
+        t0 = time.perf_counter()
+        scaled = pagerank.normalise_columns(indptr, indices, vals, shape) * 0.85
+        plan = SpmvPlan(indptr, indices, scaled, shape, dtype="f32",
+                        kernel=args.kernel, reuse="many")
+        t_plan = time.perf_counter() - t0
+        print(f"  plan:  {t_plan:.2f}s  (kernel={plan.kernel})")
+        t0 = time.perf_counter()
+        r = pagerank.run(indptr, indices, vals, shape, iters=args.iters,
+                         runs=1, plan=plan)
+        t_solve = time.perf_counter() - t0
+        print(f"  solve: {t_solve:.2f}s  (pagerank x{args.iters}, "
+              f"err={r.error:.3e})")
+        print(f"  total: {t_read+t_plan+t_solve:.2f}s read->plan->solve")
+        return 0
+    if args.cmd == "autotune-collect":
+        from lilac_tpu import autotune
+
+        n = autotune.collect_rows(
+            args.rows, tuple(args.kernels.split(",")), max_n=args.max_n,
+            budget_s=args.budget_s, reps=args.reps,
+        )
+        print(f"collected {n} new rows -> {args.rows}")
+        return 0
+    if args.cmd == "autotune-train":
+        from lilac_tpu import autotune
+
+        out = args.out or autotune.DEFAULT_MODEL_PATH
+        autotune.build_model_v2(args.rows, out, holdout=args.holdout)
+        return 0
     if args.cmd == "devices":
         import jax
 

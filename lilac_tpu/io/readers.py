@@ -70,18 +70,21 @@ def read_matrix_market(path: str):
 
 
 def read_sparsebench_crs(path: str):
-    """SparseBench on-disk CRS (1-based) -> 0-based canonical CSR."""
+    """SparseBench on-disk CRS (1-based) -> 0-based canonical CSR.
+
+    Single-pass vectorized parse: the whole file splits into a token
+    stream once (C-level), then slices decode header / pointers /
+    (colidx, value) pairs — a per-line Python loop on the reference's
+    largest size (crsmat170u, n=4.9M, ~25M entries; SparseBench
+    README:76) costs minutes, this parses it in seconds."""
     with open(path) as f:
-        n, nnz = map(int, f.readline().split())
-        ptr = np.empty(n + 1, dtype=np.int64)
-        for i in range(n + 1):
-            ptr[i] = int(f.readline())
-        idx = np.empty(nnz, dtype=np.int64)
-        val = np.empty(nnz, dtype=np.float64)
-        for k in range(nnz):
-            a, b = f.readline().split()
-            idx[k] = int(a)
-            val[k] = float(b)
+        toks = f.read().split()
+    n, nnz = int(toks[0]), int(toks[1])
+    if len(toks) != 2 + (n + 1) + 2 * nnz:
+        raise ValueError(f"{path}: token count {len(toks)} != header promise")
+    ptr = np.asarray(toks[2 : 3 + n], dtype=np.int64)
+    idx = np.asarray(toks[3 + n :: 2], dtype=np.int64)
+    val = np.asarray(toks[4 + n :: 2], dtype=np.float64)
     # rows from ptr; entries may be unsorted within rows -> canonicalise
     counts = np.diff(ptr)
     rows = np.repeat(np.arange(n, dtype=np.int64), counts)
@@ -100,6 +103,36 @@ def write_sparsebench_crs(path: str, indptr, indices, data, shape):
             f.write(f"{int(i) + 1:12d} {v:20.17f}\n")
 
 
+def write_matrix_market(path: str, indptr, indices, data, shape,
+                        pattern: bool = False):
+    """Write coordinate MatrixMarket (1-based, general symmetry) — the
+    on-disk form the reference's graph benches ingest (SuiteSparse .mtx,
+    bfs/run_all:3). Chunked formatting bounds host memory on 10M+-entry
+    writes."""
+    n, m = shape
+    nnz = len(indices)
+    counts = np.diff(indptr)
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts) + 1
+    cols = np.asarray(indices, dtype=np.int64) + 1
+    with open(path, "w") as f:
+        field = "pattern" if pattern else "real"
+        f.write(f"%%MatrixMarket matrix coordinate {field} general\n")
+        f.write(f"{n} {m} {nnz}\n")
+        step = 1 << 20
+        for i0 in range(0, nnz, step):
+            r = rows[i0 : i0 + step]
+            c = cols[i0 : i0 + step]
+            if pattern:
+                chunk = "\n".join(f"{a} {b}" for a, b in zip(r, c))
+            else:
+                v = np.asarray(data[i0 : i0 + step], dtype=np.float64)
+                chunk = "\n".join(
+                    f"{a} {b} {x:.17g}" for a, b, x in zip(r, c, v)
+                )
+            f.write(chunk)
+            f.write("\n")
+
+
 def read_edgelist(path_or_file, zero_based: bool = False):
     """BFS edge-list -> 0-based canonical CSR with unit values."""
     close = False
@@ -109,7 +142,9 @@ def read_edgelist(path_or_file, zero_based: bool = False):
         close = True
     try:
         rows, cols, nnz = map(int, f.readline().split())
-        data = np.loadtxt(f, dtype=np.int64, ndmin=2)
+        # one C-level token pass (np.loadtxt is a Python per-line loop —
+        # minutes on the reference's 10M+-edge graphs, bfs/run_all:3)
+        data = np.fromstring(f.read(), dtype=np.int64, sep=" ").reshape(-1, 2)
     finally:
         if close:
             f.close()

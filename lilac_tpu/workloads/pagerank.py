@@ -54,10 +54,18 @@ def run(
     seed: int = 0,
     x0: Optional[np.ndarray] = None,
     kernel: str = "auto",
+    plan: Optional[SpmvPlan] = None,
 ) -> PageRankResult:
+    """plan: optional pre-staged SpmvPlan built from the ALREADY
+    column-normalised-and-d-scaled values (scale_values) — lets callers
+    (bench ingest) time the marshalling phase separately."""
     n = shape[0]
-    scaled = normalise_columns(indptr, indices, data, shape) * d
-    plan = SpmvPlan(indptr, indices, scaled, shape, dtype=dtype, kernel=kernel, reuse="many")
+    if plan is None:
+        scaled = normalise_columns(indptr, indices, data, shape) * d
+        plan = SpmvPlan(
+            indptr, indices, scaled, shape, dtype=dtype, kernel=kernel,
+            reuse="many",
+        )
 
     if x0 is None:
         rng = np.random.default_rng(seed)
