@@ -2,16 +2,24 @@
 
 The reference never computes a general SpGEMM directly (SparseX's CSX
 tuning is the closest analogue), but the north-star capability list names
-it (SURVEY.md §7 hard parts). Two paths:
+it (SURVEY.md §7 hard parts). Three paths:
 
-* gustavson(...)   — host (numpy) row-wise Gustavson with hash-free
-                     accumulation per row; used at plan/preprocessing time
-                     (e.g. forming normal equations, graph squaring);
-* masked_dense(...)— device path: dense MXU matmul over column blocks of
-                     the densified operands with optional output
-                     sparsification. On TPU, dense MXU FLOPs beat sparse
-                     gather ops until density drops well below 1%, so for
-                     moderate n this IS the fast path.
+* gustavson(...)   — host reference: row-wise Gustavson (per-row loop),
+                     kept as the oracle for tests;
+* expand_csr(...) / host vectorized expansion used by both the host
+                     fast path and the device staging;
+* esc_spgemm(...)  — the TPU path: ESC (expand / sort / compress).
+                     Expansion is a static-shape ELL×ELL row gather, the
+                     sort is one lexicographic lax.sort over (row, col)
+                     keys, compression is a segment-sum — all XLA ops
+                     with static shapes, chunked over A's rows (rows are
+                     independent, so row-chunking is exact and bounds
+                     the [chunk·Ka·Kb] expansion memory);
+* masked_dense(...)— dense MXU matmul over the densified operands. On
+                     TPU the MXU beats sparse index juggling until
+                     density drops well below 1%, so for moderate n this
+                     IS the fast path; esc_spgemm covers the large-n
+                     sparse regime where densifying would O(n·m) OOM.
 """
 
 from __future__ import annotations
@@ -66,6 +74,140 @@ def gustavson(
         np.concatenate(rows_val) if rows_val else np.empty(0),
         (n, m),
     )
+
+
+def expand_csr(
+    a: Tuple[np.ndarray, np.ndarray, np.ndarray],
+    b: Tuple[np.ndarray, np.ndarray, np.ndarray],
+    shape_a: Tuple[int, int],
+    shape_b: Tuple[int, int],
+):
+    """Host vectorized Gustavson via expansion: emit every partial product
+    (i, j, a_ik·b_kj) with one repeat/gather pass (no per-row Python loop),
+    then canonicalise (sort + duplicate-sum) through coo_to_csr_arrays.
+    This replaces the loop version for at-scale host use."""
+    assert shape_a[1] == shape_b[0]
+    a_ptr, a_idx, a_val = a
+    b_ptr, b_idx, b_val = b
+    n, m = shape_a[0], shape_b[1]
+    rows_a = np.repeat(np.arange(n, dtype=np.int64), np.diff(a_ptr))
+    lens = np.diff(b_ptr)[a_idx]  # B-row length per A entry
+    total = int(lens.sum())
+    if total == 0:
+        return (np.zeros(n + 1, np.int64), np.empty(0, np.int64),
+                np.empty(0), (n, m))
+    starts = b_ptr[a_idx]
+    ends = np.cumsum(lens)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
+    pos = np.repeat(starts, lens) + offs
+    out_rows = np.repeat(rows_a, lens)
+    out_cols = b_idx[pos]
+    out_vals = np.repeat(a_val, lens) * b_val[pos]
+    from lilac_tpu.formats.convert import coo_to_csr_arrays
+
+    ptr, idx, val = coo_to_csr_arrays(out_rows, out_cols, out_vals, (n, m))
+    return ptr, idx, val, (n, m)
+
+
+def _esc_chunk_impl(va, ca, cnt_a, vb, cb, cnt_b, n_sentinel):
+    """One row-chunk of ESC on device. va/ca: [R, Ka] ELL chunk of A with
+    global column ids; vb/cb: [k_pad, Kb] ELL of B; cnt_*: true row
+    lengths. Returns (rowkey, colkey, segsum, first) all [R*Ka*Kb],
+    sorted by (rowkey, colkey) with invalid slots keyed to n_sentinel."""
+    import jax
+    import jax.numpy as jnp
+
+    R, Ka = ca.shape
+    Kb = cb.shape[1]
+    bcols = cb[ca]  # [R, Ka, Kb]
+    bvals = vb[ca]
+    prods = va[:, :, None] * bvals
+    rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None, None],
+                            (R, Ka, Kb))
+    valid_a = jnp.arange(Ka, dtype=jnp.int32)[None, :] < cnt_a[:, None]
+    valid_b = (jnp.arange(Kb, dtype=jnp.int32)[None, None, :]
+               < cnt_b[ca][:, :, None])
+    valid = valid_a[:, :, None] & valid_b
+    rowkey = jnp.where(valid, rows, jnp.int32(n_sentinel))
+    rk = rowkey.reshape(-1)
+    ck = bcols.reshape(-1)
+    pv = prods.reshape(-1)
+    rk, ck, pv = jax.lax.sort((rk, ck, pv), num_keys=2)
+    prev_r = jnp.concatenate([jnp.full((1,), -1, rk.dtype), rk[:-1]])
+    prev_c = jnp.concatenate([jnp.full((1,), -1, ck.dtype), ck[:-1]])
+    first = (rk != prev_r) | (ck != prev_c)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    sums = jnp.zeros(rk.shape[0], pv.dtype).at[seg].add(pv)
+    return rk, ck, sums, first
+
+
+_esc_jit = None
+
+
+def _esc_chunk(*args, n_sentinel):
+    global _esc_jit
+    if _esc_jit is None:
+        import jax
+
+        _esc_jit = jax.jit(_esc_chunk_impl, static_argnames=("n_sentinel",))
+    return _esc_jit(*args, n_sentinel=n_sentinel)
+
+
+def esc_spgemm(a_csr, b_csr, shape_a, shape_b, *, row_chunk: int = 16384,
+               dtype=np.float32):
+    """Device SpGEMM (ESC): returns canonical host CSR of C = A·B.
+
+    Rows of C depend only on the matching rows of A, so chunking A's rows
+    is exact; each chunk expands to a static [chunk, Ka, Kb] product
+    tensor, lexicographically sorts (row, col) keys on device, and
+    segment-sums duplicates. Expansion memory per chunk =
+    chunk·Ka·Kb·(4+4+itemsize) bytes — pick row_chunk accordingly."""
+    import jax.numpy as jnp
+
+    from lilac_tpu.formats.convert import coo_to_csr_arrays, csr_to_ell_arrays
+
+    assert shape_a[1] == shape_b[0]
+    n, m = shape_a[0], shape_b[1]
+    va, ca_cols = csr_to_ell_arrays(
+        a_csr[0], a_csr[1], np.asarray(a_csr[2], dtype=dtype), shape_a
+    )
+    vb, cb_cols = csr_to_ell_arrays(
+        b_csr[0], b_csr[1], np.asarray(b_csr[2], dtype=dtype), shape_b
+    )
+    cnt_a_full = np.diff(a_csr[0]).astype(np.int32)
+    cnt_b = np.diff(b_csr[0]).astype(np.int32)
+    # pad cnt arrays to the ELL row padding
+    cnt_a_full = np.pad(cnt_a_full, (0, va.shape[0] - n))
+    cnt_b = np.pad(cnt_b, (0, vb.shape[0] - shape_b[0]))
+    vb_d, cb_d, cnt_b_d = jnp.asarray(vb), jnp.asarray(cb_cols), jnp.asarray(cnt_b)
+
+    rows_out, cols_out, vals_out = [], [], []
+    R = min(row_chunk, va.shape[0])
+    for i0 in range(0, n, R):
+        sl = slice(i0, i0 + R)
+        va_c = np.zeros((R,) + va.shape[1:], va.dtype)
+        ca_c = np.zeros((R,) + ca_cols.shape[1:], ca_cols.dtype)
+        cnt_c = np.zeros(R, np.int32)
+        r = min(R, va.shape[0] - i0)
+        va_c[:r], ca_c[:r], cnt_c[:r] = va[sl], ca_cols[sl], cnt_a_full[sl]
+        rk, ck, sums, first = _esc_chunk(
+            jnp.asarray(va_c), jnp.asarray(ca_c), jnp.asarray(cnt_c),
+            vb_d, cb_d, cnt_b_d, n_sentinel=R,
+        )
+        rk, ck = np.asarray(rk), np.asarray(ck)
+        sums, first = np.asarray(sums), np.asarray(first)
+        keep = first & (rk < R)
+        nuniq = int(keep.sum())
+        rows_out.append(rk[keep].astype(np.int64) + i0)
+        cols_out.append(ck[keep].astype(np.int64))
+        # valid groups sort before the sentinel group: their segment sums
+        # are exactly the first nuniq entries
+        vals_out.append(sums[:nuniq].astype(np.float64))
+    rows_all = np.concatenate(rows_out) if rows_out else np.empty(0, np.int64)
+    cols_all = np.concatenate(cols_out) if cols_out else np.empty(0, np.int64)
+    vals_all = np.concatenate(vals_out) if vals_out else np.empty(0)
+    ptr, idx, val = coo_to_csr_arrays(rows_all, cols_all, vals_all, (n, m))
+    return ptr, idx, val, (n, m)
 
 
 def masked_dense(a_csr, b_csr, shape_a, shape_b, *, threshold: float = 0.0,

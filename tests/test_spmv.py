@@ -189,6 +189,30 @@ def test_spgemm_gustavson_matches_dense(rng):
     np.testing.assert_allclose(C2, A @ B, rtol=1e-5, atol=1e-5)
 
 
+def test_spgemm_expand_and_esc_match_oracle(rng):
+    import numpy as np
+
+    from lilac_tpu.ops import spgemm
+    from tests.conftest import random_csr
+
+    (ap, ai, av), sa = random_csr(rng, 120, 70, 0.08)
+    (bp, bi, bv), sb = random_csr(rng, 70, 90, 0.08)
+    ref = spgemm.gustavson((ap, ai, av), (bp, bi, bv), sa, sb)
+
+    # vectorized host expansion: exactly the oracle's CSR (same dup-sum)
+    got = spgemm.expand_csr((ap, ai, av), (bp, bi, bv), sa, sb)
+    np.testing.assert_array_equal(got[0], ref[0])
+    np.testing.assert_array_equal(got[1], ref[1])
+    np.testing.assert_allclose(got[2], ref[2], rtol=1e-13)
+
+    # device ESC: f32 values, structure must match exactly, values to f32
+    # accuracy; row_chunk smaller than n exercises the chunk loop
+    esc = spgemm.esc_spgemm((ap, ai, av), (bp, bi, bv), sa, sb, row_chunk=32)
+    np.testing.assert_array_equal(esc[0], ref[0])
+    np.testing.assert_array_equal(esc[1], ref[1])
+    np.testing.assert_allclose(esc[2], ref[2], rtol=2e-5, atol=2e-6)
+
+
 def test_seg_bucket_ell_matches_dense(rng):
     import numpy as np
 
