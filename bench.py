@@ -130,10 +130,14 @@ def _run_class(class_name, dtype, kernel):
 
 def main():
     global _best
-    budget = float(os.environ.get("LILAC_BENCH_BUDGET_S", "480"))
-    dtype = os.environ.get("LILAC_BENCH_DTYPE", "df64")
-    kernel = os.environ.get("LILAC_BENCH_KERNEL", "factored")
-    forced = os.environ.get("LILAC_BENCH_CLASS")
+    sys.path.insert(0, HERE)
+    from lilac_tpu.config import cfg
+
+    conf = cfg()
+    budget = conf.bench_budget_s
+    dtype = conf.bench_dtype
+    kernel = conf.bench_kernel
+    forced = conf.bench_class
 
     # budget safety nets: watchdog thread (works under blocked native
     # calls) + SIGTERM handler (driver's first, polite, kill)

@@ -149,7 +149,9 @@ _cached_path: Optional[str] = None
 
 def installed_model() -> Optional[LinearSelector]:
     global _cached_model, _cached_path
-    path = os.environ.get(MODEL_ENV, DEFAULT_MODEL_PATH)
+    from lilac_tpu.config import cfg
+
+    path = cfg().autotune_model or DEFAULT_MODEL_PATH
     if not os.path.exists(path):
         return None
     if _cached_model is None or _cached_path != path:

@@ -25,6 +25,7 @@ def main(argv=None):
     pa.add_argument("--baseline", default="xla_ell")
 
     sub.add_parser("devices")  # ≙ libspmv/cl-probe.cpp
+    sub.add_parser("config")  # the declarative knob catalogue (SURVEY §5)
 
     pm = sub.add_parser("marshall")  # ≙ the *-slow marshalling probes
     pm.add_argument("--size", type=int, default=30)
@@ -60,6 +61,11 @@ def main(argv=None):
     pt.add_argument("--holdout", type=float, default=0.25)
 
     args = p.parse_args(argv)
+    if args.cmd == "config":
+        from lilac_tpu.config import cfg
+
+        print(cfg().describe())
+        return 0
     if args.cmd == "ingest":
         # The reference's graph benches consume real on-disk matrices
         # (10 SuiteSparse graphs, bfs/run_all:3); no egress here, so the
@@ -73,7 +79,9 @@ def main(argv=None):
         from lilac_tpu.plan import SpmvPlan
         from lilac_tpu.workloads import pagerank
 
-        data_dir = os.environ.get("LILAC_DATA_DIR", "data")
+        from lilac_tpu.config import cfg
+
+        data_dir = cfg().resolved_data_dir()
         os.makedirs(data_dir, exist_ok=True)
         path = os.path.join(
             data_dir, f"ingest_{args.n}_{int(args.avg_deg)}.{args.format}"

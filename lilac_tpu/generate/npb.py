@@ -165,9 +165,9 @@ def make_cg_matrix(
     """
     cls = CLASSES[class_name.upper()]
     if cache_dir is None:
-        cache_dir = os.environ.get(
-            "LILAC_CACHE", os.path.join(os.path.dirname(__file__), "..", "..", "data")
-        )
+        from lilac_tpu.config import cfg
+
+        cache_dir = cfg().resolved_data_dir()
     cache_dir = os.path.abspath(cache_dir)
     path = os.path.join(cache_dir, f"npb_cg_{cls.name}.npz")
     if os.path.exists(path):

@@ -85,9 +85,11 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
     # single fast-path table and keep the bucketed single-segment layout.
     import os as _os
 
+    from lilac_tpu.config import cfg
     from lilac_tpu.formats.convert import csr_to_seg_ell_scan
 
-    mode = _os.environ.get("LILAC_FACTORED_SEGMODE", "auto")
+    conf = cfg()
+    mode = conf.factored_segmode
     if mode == "auto":
         # routed networks need the whole x table in one VMEM-resident net
         # (n <= 2^18); beyond that fall back to the single-segment layout.
@@ -97,7 +99,7 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
 
         mode = "routed" if _jax.default_backend() != "cpu" else "single"
     use_scan = mode == "scan"
-    squant = float(_os.environ.get("LILAC_SEG_QUANTILE", "97"))
+    squant = conf.seg_quantile
 
     if mode == "routed":
         # Run the whole solve in sigma-space: relabel the j (row/column)
@@ -120,11 +122,7 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
             save_routed,
         )
 
-        cache_dir = _os.environ.get(
-            "LILAC_DATA_DIR",
-            _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.dirname(
-                _os.path.abspath(__file__)))), "data"),
-        )
+        cache_dir = conf.resolved_data_dir()
         _os.makedirs(cache_dir, exist_ok=True)
         V = VT = None
         paths = [
@@ -145,7 +143,7 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
                 # stages as butterfly/window passes, no column segments)
                 from lilac_tpu.kernels.routed_spmv import build_routed_csr_hier
 
-                hbl = int(_os.environ.get("LILAC_HIER_BL", str(1 << 16)))
+                hbl = conf.hier_bl
                 V = build_routed_csr_hier(
                     v_ip, v_ix, v_v, (n, n), dtype=dtype, bl=hbl, verbose=True
                 )

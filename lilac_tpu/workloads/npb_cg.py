@@ -56,9 +56,9 @@ def run(
     cls = CLASSES[class_name.upper()]
     n_it = niter if niter is not None else cls.niter
     if steps_per_dispatch is None:
-        import os as _os
+        from lilac_tpu.config import cfg
 
-        env = _os.environ.get("LILAC_STEPS_PER_DISPATCH")
+        env = cfg().steps_per_dispatch
         if env is not None:
             steps_per_dispatch = int(env)
         elif cls.na <= 20000:

@@ -104,3 +104,25 @@ def test_spmv_traffic_bytes_models_each_family():
     )
     # product planes written+read and the un-permute read+write of y
     assert tr["intermediates"] == 2 * vals_bytes + 2 * tr["y"]
+
+
+def test_config_catalogue_and_env_overrides(monkeypatch):
+    from lilac_tpu.config import KNOBS, cfg
+
+    c = cfg()
+    # every knob resolves and appears in the human description
+    desc = c.describe()
+    for k in KNOBS:
+        assert k.env in desc
+    assert c.hier_bl == (1 << 16)
+    assert c.bench_dtype == "df64"
+
+    monkeypatch.setenv("LILAC_HIER_BL", "32768")
+    monkeypatch.setenv("LILAC_BENCH_CLASS", "C")
+    c2 = cfg()
+    assert c2.hier_bl == 32768 and c2.bench_class == "C"
+    assert "[env]" in c2.describe()
+
+    # legacy LILAC_CACHE alias feeds data_dir
+    monkeypatch.setenv("LILAC_CACHE", "/tmp/xyz")
+    assert cfg().resolved_data_dir() == "/tmp/xyz"
