@@ -176,6 +176,12 @@ def main():
               f"(x{line['vs_baseline']})", file=sys.stderr)
         if line["verified"]:
             _best = line
+            # bank the rung on stdout NOW: if the driver hard-kills the
+            # process mid-way up the ladder (round-1 rc=124 left stdout
+            # empty), the tail still holds a parseable result line; the
+            # final emit re-prints the best line last
+            _best["wall_total_s"] = round(_elapsed(), 1)
+            print(json.dumps(_best), flush=True)
         else:
             # an unverified rung is a bug, not a budget issue — report the
             # best verified rung (or the failure) rather than climbing on

@@ -317,12 +317,22 @@ class SBBenchResult:
 
 
 def benchmark(size: int, *, maxit=100, rtol=1e-6, dtype="df64", seed=0,
-              kernel="auto") -> SBBenchResult:
+              kernel="auto", sigma_relabel=None) -> SBBenchResult:
     """The reference's benchmark protocol (SparseBench/run_all:36-42): a
     big_gen random CRS matrix (big_gen.py:59-83 semantics), BiCG with
     maxit=100 / rtol=1e-6, x0=0, b=1 (main.f:341-345), scraped metric =
     Mflop rate (main.f:523-556). Flops use the reference's per-op model:
-    4·nnz−2n per mat+matᵀ pair and 2n per dot/axpy."""
+    4·nnz−2n per mat+matᵀ pair and 2n per dot/axpy.
+
+    sigma_relabel (default: on for routed kernels): solve the
+    row/column-relabeled system A' = P A Pᵀ with P ordering rows by
+    descending length, so the FORWARD routed plan's rows arrive
+    pre-sorted and its per-matvec un-permute gather vanishes (one-sided:
+    A'ᵀ column counts are not sorted, so the transpose plan keeps its
+    own ordering). Permutations preserve every BiCG scalar (dots, norms,
+    residuals) and b = ones is permutation-invariant, so iteration count
+    and history are unchanged — only the unreturned x would need a final
+    un-permute."""
     import jax
 
     from lilac_tpu.generate.random_crs import random_crs
@@ -332,6 +342,19 @@ def benchmark(size: int, *, maxit=100, rtol=1e-6, dtype="df64", seed=0,
 
     indptr, indices, data, shape = random_crs(size, seed=seed)
     n = shape[0]
+    if sigma_relabel is None:
+        sigma_relabel = kernel.startswith("routed")
+    if sigma_relabel:
+        from lilac_tpu.formats.convert import coo_to_csr_arrays
+
+        counts = np.diff(indptr)
+        order = np.argsort(-counts, kind="stable")
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        rows_old = np.repeat(np.arange(n, dtype=np.int64), counts)
+        indptr, indices, data = coo_to_csr_arrays(
+            rank[rows_old], rank[indices], data, shape, sum_duplicates=False
+        )
     from lilac_tpu.plan import transposed_plan
 
     plan = SpmvPlan(indptr, indices, data, shape, dtype=dtype, kernel=kernel)

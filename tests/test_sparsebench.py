@@ -104,6 +104,12 @@ def test_sparsebench_benchmark_mode():
     r = sb.benchmark(10, maxit=20, dtype="f64")
     assert r.n == 1000 and r.time_s > 0 and r.mflop_rate > 0
 
+    # sigma relabel (A' = P A P^T) leaves every BiCG scalar invariant:
+    # the iteration trajectory must be identical to the unrelabeled solve
+    r2 = sb.benchmark(10, maxit=20, dtype="f64", sigma_relabel=True)
+    assert r2.iterations == r.iterations
+    assert r2.nnz == r.nnz
+
 
 def test_gmres_solve_production(rng):
     """General restarted GMRES (production solver) against a dense solve."""
