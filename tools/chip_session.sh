@@ -1,0 +1,55 @@
+#!/bin/bash
+# Full TPU measurement battery for round 2 — run when the axon tunnel is up.
+# Each step logs to tools/out/<step>.log and failures don't stop the rest.
+# Usage: bash tools/chip_session.sh [outdir]
+cd "$(dirname "$0")/.." || exit 1
+OUT=${1:-tools/out}
+mkdir -p "$OUT"
+log() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$OUT/session.log"; }
+
+step() { # step <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  log "START $name"
+  timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+  local rc=$?
+  log "END $name rc=$rc ($(tail -c 200 "$OUT/$name.log" | tr '\n' ' '))"
+}
+
+# 0. gate: is the chip reachable? (3 min probe)
+log "probing device"
+timeout 240 python - <<'EOF' > "$OUT/probe.log" 2>&1
+import os, jax
+print(jax.devices()); import jax.numpy as jnp
+jax.block_until_ready(jnp.ones(8)+1); print("warm ok"); os._exit(0)
+EOF
+if [ $? -ne 0 ]; then log "DEVICE UNREACHABLE - aborting battery"; exit 1; fi
+log "device up"
+
+# 1. the round's gating deliverable: bench ladder within budget
+step bench_ladder 900 python bench.py
+
+# 2. class C breakdown (verdict item 4)
+step profile_C 1500 python tools/profile_classC.py C
+
+# 3. roofline table at 3+ sizes, gather vs routed (verdict item 2)
+step roofline 2400 python -m lilac_tpu.bench spmv-roofline --sizes 20,40,60 --kernels auto,routed
+
+# 4. SparseBench size-160 BiCG, routed, sigma relabel ON (verdict item 3)
+step sb160_sigma 5400 python - <<'EOF'
+import os
+from lilac_tpu.workloads import sparsebench as sb
+r = sb.benchmark(160, dtype="df64", kernel="routed", sigma_relabel=True)
+print(r); os._exit(0)
+EOF
+
+# 5. marshalling probe incl. routed plans (verdict item 8 check)
+step marshall 1200 python -m lilac_tpu.bench marshall --size 30
+
+# 6. autotune collection (resumable; bounded to ~50 min) + train
+step autotune_collect 3300 python -m lilac_tpu.bench autotune-collect --budget-s 3000 --reps 10
+step autotune_train 300 python -m lilac_tpu.bench autotune-train
+
+# 7. NPB class E (plans must be pre-built in data/ by the host job)
+step class_E 3600 env LILAC_BENCH_CLASS=E LILAC_BENCH_BUDGET_S=3500 python bench.py
+
+log "battery complete"
