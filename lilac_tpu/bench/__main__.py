@@ -41,6 +41,13 @@ def main(argv=None):
     pg.add_argument("--kernels", default="auto,routed")
     pg.add_argument("--workload", default="pagerank", choices=["pagerank", "bfs"])
 
+    pw = sub.add_parser("weak-scaling")  # per-device nnz/s vs device count
+    pw.add_argument("--per-dev-n", type=int, default=65536)
+    pw.add_argument("--mean-nnz", type=float, default=16.0)
+    pw.add_argument("--devices", default="1,2,4,8")
+    pw.add_argument("--reps", type=int, default=30)
+    pw.add_argument("--dtype", default="f32")
+
     pi = sub.add_parser("ingest")  # at-scale file ingestion: read->plan->solve
     pi.add_argument("--n", type=int, default=1_000_000)
     pi.add_argument("--avg-deg", type=float, default=13.0)
@@ -65,6 +72,64 @@ def main(argv=None):
         from lilac_tpu.config import cfg
 
         print(cfg().describe())
+        return 0
+    if args.cmd == "weak-scaling":
+        # BASELINE target: >=70% weak-scaling nnz/s at >=2 hosts. This
+        # harness grows the problem with the mesh (fixed rows per device)
+        # and reports per-device nnz/s vs the 1-device run — meaningful
+        # numbers need real chips; on the CPU virtual mesh it validates
+        # the measurement path itself.
+        import time
+
+        import jax
+        import numpy as np
+
+        from lilac_tpu.generate.random_crs import random_crs
+        from lilac_tpu.parallel.dist import DistSpmvPlan, make_mesh
+
+        ndev_avail = len(jax.devices())
+        base_rate = None
+        for nd in map(int, args.devices.split(",")):
+            if nd > ndev_avail:
+                print(f"  n_dev={nd}: skipped (only {ndev_avail} devices)")
+                continue
+            side = max(2, round((args.per_dev_n * nd) ** (1.0 / 3.0)))
+            indptr, indices, data, shape = random_crs(
+                side, seed=11, mean_nnz=args.mean_nnz,
+                std_nnz=args.mean_nnz / 2.0,
+            )
+            mesh = make_mesh(nd)
+            plan = DistSpmvPlan.build(
+                indptr, indices, data, shape, mesh, dtype=args.dtype
+            )
+            from jax.sharding import PartitionSpec as P
+
+            x = plan.vec_in(np.random.default_rng(0).normal(size=shape[1]))
+            vs = jax.tree.map(lambda _: P(plan.axis), x)
+            f = jax.jit(
+                jax.shard_map(
+                    plan.local_matvec,
+                    mesh=mesh, in_specs=(plan.a_specs, vs), out_specs=vs,
+                    check_vma=False,
+                )
+            )
+            A = (plan.data, plan.indices)
+            y = f(A, x)
+            jax.block_until_ready(y)
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                y = f(A, y)  # chain so reps serialize on device
+            jax.block_until_ready(y)
+            t = (time.perf_counter() - t0) / args.reps
+            nnz = len(indices)
+            rate_dev = nnz / t / nd
+            if base_rate is None:
+                base_rate = rate_dev
+            print(
+                f"  n_dev={nd} n={shape[0]:>9d} nnz={nnz:>10d} "
+                f"{t*1e3:8.3f} ms  {rate_dev/1e6:8.1f} Mnnz/s/dev "
+                f"({rate_dev/base_rate:6.1%} weak-scaling efficiency)"
+            )
         return 0
     if args.cmd == "ingest":
         # The reference's graph benches consume real on-disk matrices

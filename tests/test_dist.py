@@ -316,3 +316,15 @@ def test_dist_npb_class_b_verifies_slow():
     zeta = float(df.to_f64(zetas)[-1])
     rel = abs(zeta - cls.zeta_verify) / cls.zeta_verify
     assert rel <= 1e-10, f"zeta={zeta} rel={rel:.3e}"
+
+
+def test_weak_scaling_harness_runs(capsys):
+    """The BASELINE weak-scaling measurement path (bench weak-scaling)
+    must execute on the virtual mesh and report monotone device counts."""
+    from lilac_tpu.bench.__main__ import main
+
+    main(["weak-scaling", "--per-dev-n", "1000", "--devices", "1,2",
+          "--reps", "2"])
+    out = capsys.readouterr().out
+    assert "n_dev=1" in out and "n_dev=2" in out
+    assert "weak-scaling efficiency" in out
