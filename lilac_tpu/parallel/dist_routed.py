@@ -221,39 +221,18 @@ class DistRoutedPlan:
             masks, vals = A_local
             inv = None
         else:
-            masks, vals, inv = A_local
+            masks, vals, inv_a = A_local
+            inv = inv_a[0]
         if self.dtype == "df64":
             x_full = df.DF(
                 jax.lax.all_gather(x_local.hi, self.axis, tiled=True),
                 jax.lax.all_gather(x_local.lo, self.axis, tiled=True),
             )
-            gh, gl = self._route(masks[0], (x_full.hi, x_full.lo))
-            a = df.DF(vals[0, ..., 0], vals[0, ..., 1])
-            prod = df.mul(a, df.DF(gh, gl))
-            his, los = [], []
-            for c, (rows_c, k_c) in enumerate(self.chunks):
-                t = df.sum_df(
-                    df.DF(
-                        prod.hi[c, : rows_c * k_c].reshape(rows_c, k_c),
-                        prod.lo[c, : rows_c * k_c].reshape(rows_c, k_c),
-                    ),
-                    axis=1,
-                )
-                his.append(t.hi)
-                los.append(t.lo)
-            hi, lo = jnp.concatenate(his), jnp.concatenate(los)
-            if inv is not None:
-                pair = jnp.stack([hi, lo], axis=-1)[inv[0]]
-                return df.DF(pair[..., 0], pair[..., 1])
-            return df.DF(hi, lo)
-        x_full = jax.lax.all_gather(x_local, self.axis, tiled=True)
-        (g,) = self._route(masks[0], (x_full,))
-        y = _chunk_reduce(vals[0] * g, self.chunks, self.m)
-        if inv is not None:
-            from lilac_tpu.kernels.xla import pair_gather
-
-            y = pair_gather(y, inv[0])
-        return y
+            g = self._route(masks[0], (x_full.hi, x_full.lo))
+        else:
+            x_full = jax.lax.all_gather(x_local, self.axis, tiled=True)
+            g = self._route(masks[0], (x_full,))
+        return _finish_routed_matvec(self, g, vals[0], inv)
 
     def alg(self) -> DistAlg:
         return DistAlg(get_algebra(self.dtype), self.axis)
@@ -274,6 +253,230 @@ class DistRoutedPlan:
         if self.inv_perm is not None:
             return (self.masks, self.vals, self.inv_perm)
         return (self.masks, self.vals)
+
+
+def _finish_routed_matvec(plan, g_planes, vals, inv):
+    """Shared tail: slot-ordered values x routed gather -> per-chunk
+    K-axis reduce -> optional un-permute. g_planes: [B, m] per value
+    plane; vals: the shard's [B, m(,2)] block."""
+    if plan.dtype == "df64":
+        gh, gl = g_planes
+        a = df.DF(vals[..., 0], vals[..., 1])
+        prod = df.mul(a, df.DF(gh, gl))
+        his, los = [], []
+        for c, (rows_c, k_c) in enumerate(plan.chunks):
+            t = df.sum_df(
+                df.DF(
+                    prod.hi[c, : rows_c * k_c].reshape(rows_c, k_c),
+                    prod.lo[c, : rows_c * k_c].reshape(rows_c, k_c),
+                ),
+                axis=1,
+            )
+            his.append(t.hi)
+            los.append(t.lo)
+        hi, lo = jnp.concatenate(his), jnp.concatenate(los)
+        if inv is not None:
+            pair = jnp.stack([hi, lo], axis=-1)[inv]
+            return df.DF(pair[..., 0], pair[..., 1])
+        return df.DF(hi, lo)
+    (g,) = g_planes
+    y = _chunk_reduce(vals * g, plan.chunks, plan.m)
+    if inv is not None:
+        from lilac_tpu.kernels.xla import pair_gather
+
+        y = pair_gather(y, inv)
+    return y
+
+
+@dataclasses.dataclass
+class DistRoutedHierPlan:
+    """Per-shard HIERARCHICAL routing networks inside shard_map.
+
+    DistRoutedPlan's networks keep the whole [m] table VMEM-resident per
+    Pallas program, which caps each shard's table at ~2^18 slots. This
+    plan lifts that cap the same way the single-chip RoutedMatHier does
+    (kernels/routed_spmv.py): stage distances below `bl` run as
+    VMEM-resident inner passes, distances above as butterfly/window/
+    bigshift passes streaming HBM once each.
+
+    shard_map uniformity: for each net index b the ndev shards' networks
+    are built in ONE batched build_gather_network call (canonical
+    (kinds, dists) with drop_empty=False), so compile_hier emits the
+    same static pass structure on every shard and the only per-shard
+    state is the per-pass mask arrays, stacked [ndev, ...] and sharded
+    on the mesh axis.
+    """
+
+    mesh: Mesh
+    axis: str
+    flat_masks: Tuple[jax.Array, ...]  # all pass masks, each [ndev, ...]
+    net_meta: Tuple[tuple, ...]  # per net: static pass meta tuples
+    vals: jax.Array  # [ndev, B, m] (or [..., 2])
+    inv_perm: Optional[jax.Array]  # [ndev, rps] or None
+    chunks: Tuple[Tuple[int, int], ...]
+    shape: Tuple[int, int]
+    n_pad: int
+    m: int
+    rps: int
+    bl: int
+    dtype: str
+
+    @staticmethod
+    def build(
+        indptr, indices, data, shape, mesh, *,
+        dtype: str = "f32", axis: str = "x", bl: int = 1 << 16,
+    ) -> "DistRoutedHierPlan":
+        ndev = mesh.shape[axis]
+        n = shape[0]
+        assert shape[0] == shape[1], "distributed plan assumes square matrices"
+        rps = convert.round_up(-(-n // ndev), 8)
+        n_pad = ndev * rps
+        counts = np.zeros(n_pad, dtype=np.int64)
+        counts[:n] = np.diff(indptr)
+        counts2 = counts.reshape(ndev, rps)
+        kmax = max(int(counts.max()), 1)
+        m = max(2 * bl, _pow2_at_least(max(n_pad, kmax)))
+
+        order = np.argsort(-counts2, axis=1, kind="stable")
+        sort_rows = not np.array_equal(
+            order, np.tile(np.arange(rps), (ndev, 1))
+        )
+        if not sort_rows:
+            order = np.tile(np.arange(rps), (ndev, 1))
+        rank = np.empty_like(order)
+        np.put_along_axis(rank, order, np.tile(np.arange(rps), (ndev, 1)), axis=1)
+        sorted_counts = np.take_along_axis(counts2, order, axis=1)
+
+        chunks = _common_chunk_schedule(sorted_counts, m)
+        B = len(chunks)
+        chunk_of = np.empty(rps, dtype=np.int64)
+        slot0_of = np.empty(rps, dtype=np.int64)
+        p0 = 0
+        for b, (rows_c, k_c) in enumerate(chunks):
+            chunk_of[p0 : p0 + rows_c] = b
+            slot0_of[p0 : p0 + rows_c] = np.arange(rows_c) * k_c
+            p0 += rows_c
+
+        if dtype == "df64":
+            dvals = df.split_f64_np(data)
+        else:
+            dvals = data.astype({"f32": np.float32, "f64": np.float64}[dtype])
+
+        rows_rep = np.repeat(np.arange(n), np.diff(indptr))
+        slot_in_row = np.arange(len(indices)) - np.repeat(
+            indptr[:-1], np.diff(indptr)
+        )
+        d_e = rows_rep // rps
+        p_e = rank[d_e, rows_rep % rps]
+        b_e = chunk_of[p_e]
+        t_e = slot0_of[p_e] + slot_in_row
+
+        base = np.tile(np.arange(m, dtype=np.int64) % n_pad, (ndev * B, 1))
+        base[d_e * B + b_e, t_e] = indices
+        vals = np.zeros((ndev, B, m) + dvals.shape[1:], dtype=dvals.dtype)
+        vals[d_e, b_e, t_e] = dvals
+
+        gmax = rd.hier_gmax(bl, 2 if dtype == "df64" else 1)
+        flat_masks, net_meta = [], []
+        mask_sh = lambda a: NamedSharding(  # noqa: E731
+            mesh, P(axis, *(None,) * (a.ndim - 1))
+        )
+        for b in range(B):
+            # one batched build across shards -> canonical (kinds, dists)
+            net_b = rn.build_gather_network(
+                base[b::B], n_pad, m, drop_empty=False
+            )
+            per_dev = [
+                rd.compile_hier(
+                    net_b.kinds, net_b.dists,
+                    np.asarray(net_b.masks[:, d, :]), bl, gmax=gmax,
+                )
+                for d in range(ndev)
+            ]
+            meta_b = tuple(p[:-1] for p in per_dev[0])
+            for pd in per_dev[1:]:
+                assert tuple(p[:-1] for p in pd) == meta_b, (
+                    "hier pass schedule diverged across shards"
+                )
+            net_meta.append(meta_b)
+            for j in range(len(meta_b)):
+                stacked = jnp.stack([pd[j][-1] for pd in per_dev])
+                flat_masks.append(jax.device_put(stacked, mask_sh(stacked)))
+
+        msh = NamedSharding(mesh, P(axis, *(None,) * (vals.ndim - 1)))
+        inv = None
+        if sort_rows:
+            inv = jax.device_put(
+                jnp.asarray(rank, dtype=jnp.int32),
+                NamedSharding(mesh, P(axis, None)),
+            )
+        return DistRoutedHierPlan(
+            mesh=mesh, axis=axis,
+            flat_masks=tuple(flat_masks), net_meta=tuple(net_meta),
+            vals=jax.device_put(jnp.asarray(vals), msh), inv_perm=inv,
+            chunks=chunks, shape=tuple(shape), n_pad=n_pad, m=m, rps=rps,
+            bl=bl, dtype=dtype,
+        )
+
+    vec_in = DistRoutedPlan.vec_in
+    vec_out = DistRoutedPlan.vec_out
+
+    def _route(self, masks_local, planes):
+        pads = [
+            jnp.pad(p, (0, self.m - p.shape[0])).reshape(self.m // 128, 128)
+            for p in planes
+        ]
+        per_plane = [[] for _ in planes]
+        off = 0
+        for meta_b in self.net_meta:
+            passes = [
+                meta_b[j] + (masks_local[off + j][0],)
+                for j in range(len(meta_b))
+            ]
+            outs = rd.hier_apply(pads, passes, self.bl)
+            for i, o in enumerate(outs):
+                per_plane[i].append(o.reshape(self.m))
+            off += len(meta_b)
+        return [jnp.stack(o) for o in per_plane]  # [B, m] per plane
+
+    def local_matvec(self, A_local, x_local):
+        vals = A_local[0]
+        if self.inv_perm is None:
+            inv, masks = None, A_local[1:]
+        else:
+            inv, masks = A_local[1][0], A_local[2:]
+        if self.dtype == "df64":
+            x_full = df.DF(
+                jax.lax.all_gather(x_local.hi, self.axis, tiled=True),
+                jax.lax.all_gather(x_local.lo, self.axis, tiled=True),
+            )
+            g = self._route(masks, (x_full.hi, x_full.lo))
+        else:
+            x_full = jax.lax.all_gather(x_local, self.axis, tiled=True)
+            g = self._route(masks, (x_full,))
+        return _finish_routed_matvec(self, g, vals[0], inv)
+
+    def alg(self) -> DistAlg:
+        return DistAlg(get_algebra(self.dtype), self.axis)
+
+    @property
+    def a_specs(self):
+        ax = self.axis
+        specs = [P(ax, *(None,) * (self.vals.ndim - 1))]
+        if self.inv_perm is not None:
+            specs.append(P(ax, None))
+        specs += [P(ax, *(None,) * (mk.ndim - 1)) for mk in self.flat_masks]
+        return tuple(specs)
+
+    @property
+    def a_arrays(self):
+        base = (self.vals,)
+        if self.inv_perm is not None:
+            base = base + (self.inv_perm,)
+        return base + self.flat_masks
+
+    def vspec(self):
+        return P(self.axis)
 
 
 # ---------------------------------------------------------------------------
@@ -422,24 +625,11 @@ class HaloRoutedPlan:
         if self.dtype == "df64":
             xh = self._ghost_concat(x_local.hi, sends)
             xl = self._ghost_concat(x_local.lo, sends)
-            gh, gl = self._route(masks[0], (xh, xl))
-            a = df.DF(vals[0, ..., 0], vals[0, ..., 1])
-            prod = df.mul(a, df.DF(gh, gl))
-            his, los = [], []
-            for c, (rows_c, k_c) in enumerate(self.chunks):
-                t = df.sum_df(
-                    df.DF(
-                        prod.hi[c, : rows_c * k_c].reshape(rows_c, k_c),
-                        prod.lo[c, : rows_c * k_c].reshape(rows_c, k_c),
-                    ),
-                    axis=1,
-                )
-                his.append(t.hi)
-                los.append(t.lo)
-            return df.DF(jnp.concatenate(his), jnp.concatenate(los))
-        x_ext = self._ghost_concat(x_local, sends)
-        (g,) = self._route(masks[0], (x_ext,))
-        return _chunk_reduce(vals[0] * g, self.chunks, self.m)
+            g = self._route(masks[0], (xh, xl))
+        else:
+            x_ext = self._ghost_concat(x_local, sends)
+            g = self._route(masks[0], (x_ext,))
+        return _finish_routed_matvec(self, g, vals[0], None)
 
     def alg(self) -> DistAlg:
         return DistAlg(get_algebra(self.dtype), self.axis)

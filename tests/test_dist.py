@@ -328,3 +328,59 @@ def test_weak_scaling_harness_runs(capsys):
     out = capsys.readouterr().out
     assert "n_dev=1" in out and "n_dev=2" in out
     assert "weak-scaling efficiency" in out
+
+
+def test_dist_routed_hier_matvec_matches_oracle(rng):
+    """Per-shard HIERARCHICAL networks (verdict item 6): butterfly/window
+    outer passes inside shard_map, spread rows, f32."""
+    from lilac_tpu.parallel.dist_routed import DistRoutedHierPlan
+
+    n = 1600
+    nnz_row = np.minimum(1 + rng.poisson(5.0, size=n), n)
+    nnz_row[rng.choice(n, 5, replace=False)] = 90  # heavy tail
+    rows = np.repeat(np.arange(n), nnz_row)
+    cols = rng.integers(0, n, size=len(rows))
+    vals = rng.normal(size=len(rows))
+    from lilac_tpu.formats.convert import coo_to_csr_arrays
+
+    indptr, indices, data = coo_to_csr_arrays(rows, cols, vals, (n, n))
+    mesh = make_mesh(8)
+    plan = DistRoutedHierPlan.build(
+        indptr, indices, data, (n, n), mesh, dtype="f32", bl=128
+    )
+    assert plan.m > plan.bl  # outer (butterfly/window) passes engaged
+    x = rng.normal(size=n)
+    ref = sp.csr_matrix((data, indices, indptr), shape=(n, n)) @ x
+
+    from jax.sharding import PartitionSpec as P
+
+    xd = plan.vec_in(x)
+    vs = jax.tree.map(lambda _: P(plan.axis), xd)
+    f = jax.jit(
+        jax.shard_map(
+            plan.local_matvec, mesh=mesh,
+            in_specs=(plan.a_specs, vs), out_specs=vs, check_vma=False,
+        )
+    )
+    y = plan.vec_out(f(plan.a_arrays, xd))
+    np.testing.assert_allclose(y, ref, rtol=3e-5, atol=3e-5)
+
+
+def test_dist_routed_hier_cg_df64(rng):
+    """Distributed CG through per-shard hier networks, df64, vs scipy."""
+    from lilac_tpu.formats.convert import dense_to_csr_arrays
+    from lilac_tpu.parallel.dist import dist_cg_solve
+    from lilac_tpu.parallel.dist_routed import DistRoutedHierPlan
+
+    n = 96
+    Q = rng.normal(size=(n, n))
+    A_dense = Q @ Q.T + n * np.eye(n)
+    indptr, indices, data = dense_to_csr_arrays(A_dense)
+    mesh = make_mesh(8)
+    plan = DistRoutedHierPlan.build(
+        indptr, indices, data, (n, n), mesh, dtype="df64", bl=128
+    )
+    b = rng.normal(size=n)
+    x, it, rnorm = dist_cg_solve(plan, plan.vec_in(b), maxit=300, rtol=1e-11)
+    ref = np.linalg.solve(A_dense, b)
+    np.testing.assert_allclose(plan.vec_out(x), ref, rtol=1e-8, atol=1e-8)
