@@ -143,8 +143,15 @@ def read_edgelist(path_or_file, zero_based: bool = False):
     try:
         rows, cols, nnz = map(int, f.readline().split())
         # one C-level token pass (np.loadtxt is a Python per-line loop —
-        # minutes on the reference's 10M+-edge graphs, bfs/run_all:3)
-        data = np.fromstring(f.read(), dtype=np.int64, sep=" ").reshape(-1, 2)
+        # minutes on the reference's 10M+-edge graphs, bfs/run_all:3);
+        # np.asarray on the token list raises on malformed tokens instead
+        # of silently truncating like np.fromstring would
+        toks = f.read().split()
+        if len(toks) != 2 * nnz:
+            raise ValueError(
+                f"edge list: {len(toks)} tokens, header promises {2 * nnz}"
+            )
+        data = np.asarray(toks, dtype=np.int64).reshape(-1, 2)
     finally:
         if close:
             f.close()

@@ -102,8 +102,11 @@ def sb_fill_matrix(splits: np.ndarray, n: int, sym: bool, state: int):
         )
         if top >= 0:
             return rows[:top], cols[:top], vals[:top], diag, int(out_state.value)
+        last_cap = cap
         cap *= 4
-    raise MemoryError(f"sb_fill_matrix overflow: n={n} needs > {cap} entries")
+    raise MemoryError(
+        f"sb_fill_matrix overflow: n={n} needs > {last_cap} entries"
+    )
 
 
 def mm_parse_body(path: str, skip_lines: int, nnz: int, pattern: bool):

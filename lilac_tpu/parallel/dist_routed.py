@@ -76,6 +76,71 @@ def _common_chunk_schedule(counts: np.ndarray, m: int):
     return tuple(chunks)
 
 
+def _pack_shard_chunks(
+    indptr, indices, data, shape, ndev, *, dtype, m_floor, sort_rows=True
+):
+    """Shared shard / sort / chunk-schedule / slot packing for the routed
+    distributed plans. Returns a dict with:
+      rps, n_pad, m, sort_rows (resolved), rank [ndev, rps],
+      chunks ((rows_c, K_c), ...), base [ndev*B, m] gather indices laid
+      out d-major (row d*B+b), vals [ndev, B, m(,2)] slot-ordered values.
+    """
+    n = shape[0]
+    assert shape[0] == shape[1], "distributed plan assumes square matrices"
+    rps = convert.round_up(-(-n // ndev), 8)
+    n_pad = ndev * rps
+    counts = np.zeros(n_pad, dtype=np.int64)
+    counts[:n] = np.diff(indptr)
+    counts2 = counts.reshape(ndev, rps)
+    kmax = max(int(counts.max()), 1)
+    m = max(m_floor, _pow2_at_least(max(n_pad, kmax)))
+
+    if sort_rows == "auto":
+        sort_rows = bool(kmax > 1.25 * max(counts.mean(), 1.0) + 2)
+    if sort_rows:
+        order = np.argsort(-counts2, axis=1, kind="stable")  # [ndev, rps]
+        if np.array_equal(order, np.tile(np.arange(rps), (ndev, 1))):
+            sort_rows = False
+    if not sort_rows:
+        order = np.tile(np.arange(rps), (ndev, 1))
+    rank = np.empty_like(order)
+    np.put_along_axis(rank, order, np.tile(np.arange(rps), (ndev, 1)), axis=1)
+    sorted_counts = np.take_along_axis(counts2, order, axis=1)
+
+    chunks = _common_chunk_schedule(sorted_counts, m)
+    B = len(chunks)
+    chunk_of = np.empty(rps, dtype=np.int64)
+    slot0_of = np.empty(rps, dtype=np.int64)
+    p0 = 0
+    for b, (rows_c, k_c) in enumerate(chunks):
+        chunk_of[p0 : p0 + rows_c] = b
+        slot0_of[p0 : p0 + rows_c] = np.arange(rows_c) * k_c
+        p0 += rows_c
+
+    if dtype == "df64":
+        dvals = df.split_f64_np(data)
+    else:
+        dvals = data.astype({"f32": np.float32, "f64": np.float64}[dtype])
+
+    rows_rep = np.repeat(np.arange(n), np.diff(indptr))
+    slot_in_row = np.arange(len(indices)) - np.repeat(
+        indptr[:-1], np.diff(indptr)
+    )
+    d_e = rows_rep // rps
+    p_e = rank[d_e, rows_rep % rps]
+    b_e = chunk_of[p_e]
+    t_e = slot0_of[p_e] + slot_in_row
+
+    base = np.tile(np.arange(m, dtype=np.int64) % n_pad, (ndev * B, 1))
+    base[d_e * B + b_e, t_e] = indices
+    vals = np.zeros((ndev, B, m) + dvals.shape[1:], dtype=dvals.dtype)
+    vals[d_e, b_e, t_e] = dvals
+    return dict(
+        rps=rps, n_pad=n_pad, m=m, sort_rows=sort_rows, rank=rank,
+        chunks=chunks, base=base, vals=vals,
+    )
+
+
 @dataclasses.dataclass
 class DistRoutedPlan:
     mesh: Mesh
@@ -105,56 +170,14 @@ class DistRoutedPlan:
         sort_rows="auto",
     ) -> "DistRoutedPlan":
         ndev = mesh.shape[axis]
-        n = shape[0]
-        assert shape[0] == shape[1], "distributed plan assumes square matrices"
-        rps = convert.round_up(-(-n // ndev), 8)
-        n_pad = ndev * rps
-        counts = np.zeros(n_pad, dtype=np.int64)
-        counts[:n] = np.diff(indptr)
-        counts2 = counts.reshape(ndev, rps)
-        kmax = max(int(counts.max()), 1)
-        m = max(1024, _pow2_at_least(max(n_pad, kmax)))
-
-        if sort_rows == "auto":
-            sort_rows = bool(kmax > 1.25 * max(counts.mean(), 1.0) + 2)
-        if sort_rows:
-            order = np.argsort(-counts2, axis=1, kind="stable")  # [ndev, rps]
-            if np.array_equal(order, np.tile(np.arange(rps), (ndev, 1))):
-                sort_rows = False
-        if not sort_rows:
-            order = np.tile(np.arange(rps), (ndev, 1))
-        rank = np.empty_like(order)
-        np.put_along_axis(rank, order, np.tile(np.arange(rps), (ndev, 1)), axis=1)
-        sorted_counts = np.take_along_axis(counts2, order, axis=1)
-
-        chunks = _common_chunk_schedule(sorted_counts, m)
+        pk = _pack_shard_chunks(
+            indptr, indices, data, shape, ndev, dtype=dtype, m_floor=1024,
+            sort_rows=sort_rows,
+        )
+        rps, n_pad, m = pk["rps"], pk["n_pad"], pk["m"]
+        sort_rows, rank = pk["sort_rows"], pk["rank"]
+        chunks, base, vals = pk["chunks"], pk["base"], pk["vals"]
         B = len(chunks)
-        # packing position p -> (chunk, slot0)
-        chunk_of = np.empty(rps, dtype=np.int64)
-        slot0_of = np.empty(rps, dtype=np.int64)
-        p0 = 0
-        for b, (rows_c, k_c) in enumerate(chunks):
-            chunk_of[p0 : p0 + rows_c] = b
-            slot0_of[p0 : p0 + rows_c] = np.arange(rows_c) * k_c
-            p0 += rows_c
-
-        if dtype == "df64":
-            dvals = df.split_f64_np(data)
-        else:
-            dvals = data.astype({"f32": np.float32, "f64": np.float64}[dtype])
-
-        # per-entry placement: global row r -> shard d, packing pos p
-        rows_rep = np.repeat(np.arange(n), np.diff(indptr))
-        slot_in_row = np.arange(len(indices)) - np.repeat(indptr[:-1], np.diff(indptr))
-        d_e = rows_rep // rps
-        p_e = rank[d_e, rows_rep % rps]
-        b_e = chunk_of[p_e]
-        t_e = slot0_of[p_e] + slot_in_row
-
-        base = np.tile(np.arange(m, dtype=np.int64) % n_pad, (ndev * B, 1))
-        base[d_e * B + b_e, t_e] = indices
-        vals = np.zeros((ndev, B, m) + dvals.shape[1:], dtype=dvals.dtype)
-        vals[d_e, b_e, t_e] = dvals
 
         net = rn.build_gather_network(base, n_pad, m, drop_empty=False)
         masks = rd.masks_device(net)  # [ndev*B, P, R, 128]
@@ -327,54 +350,14 @@ class DistRoutedHierPlan:
         dtype: str = "f32", axis: str = "x", bl: int = 1 << 16,
     ) -> "DistRoutedHierPlan":
         ndev = mesh.shape[axis]
-        n = shape[0]
-        assert shape[0] == shape[1], "distributed plan assumes square matrices"
-        rps = convert.round_up(-(-n // ndev), 8)
-        n_pad = ndev * rps
-        counts = np.zeros(n_pad, dtype=np.int64)
-        counts[:n] = np.diff(indptr)
-        counts2 = counts.reshape(ndev, rps)
-        kmax = max(int(counts.max()), 1)
-        m = max(2 * bl, _pow2_at_least(max(n_pad, kmax)))
-
-        order = np.argsort(-counts2, axis=1, kind="stable")
-        sort_rows = not np.array_equal(
-            order, np.tile(np.arange(rps), (ndev, 1))
+        pk = _pack_shard_chunks(
+            indptr, indices, data, shape, ndev, dtype=dtype, m_floor=2 * bl,
+            sort_rows=True,
         )
-        if not sort_rows:
-            order = np.tile(np.arange(rps), (ndev, 1))
-        rank = np.empty_like(order)
-        np.put_along_axis(rank, order, np.tile(np.arange(rps), (ndev, 1)), axis=1)
-        sorted_counts = np.take_along_axis(counts2, order, axis=1)
-
-        chunks = _common_chunk_schedule(sorted_counts, m)
+        rps, n_pad, m = pk["rps"], pk["n_pad"], pk["m"]
+        sort_rows, rank = pk["sort_rows"], pk["rank"]
+        chunks, base, vals = pk["chunks"], pk["base"], pk["vals"]
         B = len(chunks)
-        chunk_of = np.empty(rps, dtype=np.int64)
-        slot0_of = np.empty(rps, dtype=np.int64)
-        p0 = 0
-        for b, (rows_c, k_c) in enumerate(chunks):
-            chunk_of[p0 : p0 + rows_c] = b
-            slot0_of[p0 : p0 + rows_c] = np.arange(rows_c) * k_c
-            p0 += rows_c
-
-        if dtype == "df64":
-            dvals = df.split_f64_np(data)
-        else:
-            dvals = data.astype({"f32": np.float32, "f64": np.float64}[dtype])
-
-        rows_rep = np.repeat(np.arange(n), np.diff(indptr))
-        slot_in_row = np.arange(len(indices)) - np.repeat(
-            indptr[:-1], np.diff(indptr)
-        )
-        d_e = rows_rep // rps
-        p_e = rank[d_e, rows_rep % rps]
-        b_e = chunk_of[p_e]
-        t_e = slot0_of[p_e] + slot_in_row
-
-        base = np.tile(np.arange(m, dtype=np.int64) % n_pad, (ndev * B, 1))
-        base[d_e * B + b_e, t_e] = indices
-        vals = np.zeros((ndev, B, m) + dvals.shape[1:], dtype=dvals.dtype)
-        vals[d_e, b_e, t_e] = dvals
 
         gmax = rd.hier_gmax(bl, 2 if dtype == "df64" else 1)
         flat_masks, net_meta = [], []
@@ -556,8 +539,11 @@ class HaloRoutedPlan:
                 (ndev, rows_c * K) + seg_v.shape[3:]
             )
             p0 += rows_c
-        # interleave nets as d*B+b
-        base = base.reshape(B, ndev, m).transpose(1, 0, 2).reshape(ndev * B, m)
+        # base[b::B] rows are indices d*B+b, so base is ALREADY laid out
+        # d-major (net of shard d, chunk b, at row d*B+b) — matching the
+        # masks reshape below. (A former transpose here re-ordered rows as
+        # if b-major, scrambling every shard's networks whenever B > 1;
+        # caught by the B=2 oracle regression test.)
 
         net = rn.build_gather_network(base, T, m, drop_empty=False)
         masks = rd.masks_device(net)
@@ -603,13 +589,9 @@ class HaloRoutedPlan:
         return np.asarray(y, dtype=np.float64)[: self.shape[0]]
 
     def _ghost_concat(self, x_local, sends):
-        ndev = self.mesh.shape[self.axis]
-        ghosts = []
-        for k, send in zip(self.dist_ks, sends):
-            buf = x_local[send[0]]
-            perm = [(i, (i + k) % ndev) for i in range(ndev)]
-            ghosts.append(jax.lax.ppermute(buf, self.axis, perm))
-        return jnp.concatenate([x_local] + ghosts) if ghosts else x_local
+        from lilac_tpu.parallel.halo import HaloSpmvPlan
+
+        return HaloSpmvPlan.ghost_concat(self, x_local, sends)
 
     def _route(self, masks_local, planes):
         pads = [

@@ -49,8 +49,10 @@ def halo_tables(ev, ec, ndev: int, rps: int):
     """
     owner = ec // rps
     needed = {}  # (dst, src) -> sorted unique local positions on src
+    # d-independent: hoisted out of the loop (recomputing it per shard
+    # made plan build O(ndev^2 * rps * K))
+    used_mask = ev != 0.0 if ev.ndim == 3 else (ev[..., 0] != 0.0)
     for d in range(ndev):
-        used_mask = ev != 0.0 if ev.ndim == 3 else (ev[..., 0] != 0.0)
         for s in range(ndev):
             if s == d:
                 continue

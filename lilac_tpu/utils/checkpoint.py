@@ -92,7 +92,15 @@ def npb_power_method_jit(plan, alg, x, shift, length):
         def run(A, x, length):
             return npb_power_method(plan.matvec_with, alg, A, x, shift, length)
 
-        _JIT_CACHE[key] = run
+        # bound the cache: each closure pins its plan's staged device
+        # arrays (GBs at large classes), so evict oldest beyond a few
+        # entries. Holding (plan, alg) in the value also keeps the id()
+        # keys valid while cached (no id-reuse aliasing).
+        while len(_JIT_CACHE) >= 4:
+            _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
+        _JIT_CACHE[key] = (run, plan, alg)
+    else:
+        run = run[0]
     return run(plan.A, x, length)
 
 

@@ -384,3 +384,38 @@ def test_dist_routed_hier_cg_df64(rng):
     x, it, rnorm = dist_cg_solve(plan, plan.vec_in(b), maxit=300, rtol=1e-11)
     ref = np.linalg.solve(A_dense, b)
     np.testing.assert_allclose(plan.vec_out(x), ref, rtol=1e-8, atol=1e-8)
+
+
+def test_halo_routed_multichunk_matches_oracle():
+    """Regression for the B>1 network-ordering bug: a banded matrix whose
+    rps*K exceeds one network forces B=2 chunks per shard; the halo x
+    routed matvec must still match the scipy oracle (it returned garbage
+    when the plan transposed its net table to b-major)."""
+    from lilac_tpu.formats.convert import coo_to_csr_arrays
+    from lilac_tpu.parallel.dist_routed import HaloRoutedPlan
+
+    n, bw = 512, 17
+    offs = np.arange(-(bw // 2), bw // 2 + 1)
+    rows = np.repeat(np.arange(n), bw)
+    cols = (rows.reshape(n, bw) + offs).clip(0, n - 1).ravel()
+    vals = np.random.default_rng(7).normal(size=n * bw)
+    indptr, indices, data = coo_to_csr_arrays(rows, cols, vals, (n, n))
+    mesh = make_mesh(8)
+    plan = HaloRoutedPlan.build(indptr, indices, data, (n, n), mesh,
+                                dtype="f32")
+    assert len(plan.chunks) > 1, "test must exercise B>1"
+    x = np.random.default_rng(8).normal(size=n)
+    ref = sp.csr_matrix((data, indices, indptr), shape=(n, n)) @ x
+
+    from jax.sharding import PartitionSpec as P
+
+    xd = plan.vec_in(x)
+    vs = jax.tree.map(lambda _: P(plan.axis), xd)
+    f = jax.jit(
+        jax.shard_map(
+            plan.local_matvec, mesh=mesh,
+            in_specs=(plan.a_specs, vs), out_specs=vs, check_vma=False,
+        )
+    )
+    y = plan.vec_out(f(plan.a_arrays, xd))
+    np.testing.assert_allclose(y, ref, rtol=3e-5, atol=3e-5)
