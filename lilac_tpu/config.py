@@ -50,6 +50,11 @@ KNOBS = (
     Knob("hier_bl", "LILAC_HIER_BL", int, 1 << 16,
          "Hierarchical routed-network block length (VMEM-resident block "
          "size for inner-pass stages; power of two)."),
+    Knob("hier_gmax", "LILAC_HIER_GMAX", Optional[int], None,
+         "Butterfly group exponent for hierarchical plans (None = derive "
+         "from the VMEM budget). Each butterfly pass costs ~1 mask byte "
+         "per slot regardless of its stage count, so larger g = fewer "
+         "passes = smaller plans and fewer HBM streams."),
     Knob("steps_per_dispatch", "LILAC_STEPS_PER_DISPATCH", Optional[int], None,
          "NPB CG outer iterations fused per device dispatch (None = "
          "class-dependent auto: whole loop for small classes, chunks for "
@@ -79,6 +84,7 @@ KNOBS = (
 class Config:
     data_dir: Optional[str]
     hier_bl: int
+    hier_gmax: Optional[int]
     steps_per_dispatch: Optional[int]
     factored_segmode: str
     seg_quantile: float

@@ -101,6 +101,7 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
     use_scan = mode == "scan"
     squant = conf.seg_quantile
 
+    sigma_i = None
     if mode == "routed":
         # Run the whole solve in sigma-space: relabel the j (row/column)
         # space by descending V-column multiplicity so VT's rows are
@@ -113,6 +114,16 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
         rank_s = np.empty(n, dtype=np.int64)
         rank_s[sigma] = np.arange(n)
         pos_j = rank_s[pos_j]
+        # i-space relabel (round 2): order V's rows by descending length
+        # so V's un-permute network vanishes too. The i-space is internal
+        # to the factored product — V' = P_i V P_j^T, VT' = V'^T,
+        # S' = P_i S P_i^T give A' = P_j A P_j^T, the same j-space
+        # similarity as above, so CG scalars stay invariant; only s must
+        # be permuted to match.
+        sigma_i = np.argsort(-nzv_arr, kind="stable")
+        rank_i = np.empty(n, dtype=np.int64)
+        rank_i[sigma_i] = np.arange(n)
+        rows_i = rank_i[rows_i]
     v_ip, v_ix, v_v = coo_to_csr_arrays(rows_i, pos_j, vc, (n, n), sum_duplicates=False)
     t_ip, t_ix, t_v = coo_to_csr_arrays(pos_j, rows_i, vc, (n, n), sum_duplicates=False)
     if mode == "routed":
@@ -125,8 +136,10 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
         cache_dir = conf.resolved_data_dir()
         _os.makedirs(cache_dir, exist_ok=True)
         V = VT = None
+        # cache schema v2: i-space relabel changed slot layouts AND the
+        # matching s permutation — v1 "routed_*" caches are incompatible
         paths = [
-            _os.path.join(cache_dir, f"routed_{cls.name}_{dtype}_{t}.npz")
+            _os.path.join(cache_dir, f"routed2_{cls.name}_{dtype}_{t}.npz")
             for t in ("V", "VT")
         ]
         if all(_os.path.exists(p) for p in paths):
@@ -168,6 +181,8 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
     s = np.empty(n, dtype=np.float64)
     s[0] = 1.0
     np.multiply.accumulate(np.full(n - 1, ratio), out=s[1:])
+    if sigma_i is not None:
+        s = s[sigma_i]  # S' = P_i S P_i^T
     d0 = cls.rcond - cls.shift
 
     def to_dev(v):

@@ -600,6 +600,20 @@ jax.tree_util.register_dataclass(
 )
 
 
+def _hier_gmax_cfg(bl: int, dtype: str) -> int:
+    """Butterfly group exponent: explicit LILAC_HIER_GMAX wins, else the
+    VMEM-budget derivation. A butterfly pass costs ~1 mask byte per slot
+    whatever its stage count, so g=3 (when VMEM allows: g=3 at bl=2^16
+    df64 needs ~18 MB of the 128 MB v5e VMEM) cuts plan mask bytes and
+    HBM mask streams by ~1/3 vs g=2."""
+    from lilac_tpu.config import cfg
+
+    g = cfg().hier_gmax
+    if g is not None:
+        return int(g)
+    return rd.hier_gmax(bl, 2 if dtype == "df64" else 1)
+
+
 def build_routed_csr_hier(
     indptr: np.ndarray,
     indices: np.ndarray,
@@ -677,7 +691,7 @@ def build_routed_csr_hier(
     for g0 in range(0, nnets, host_batch):
         g1 = min(g0 + host_batch, nnets)
         net_h = rn.build_gather_network(idx_all[g0:g1], ncol, m, drop_empty=False)
-        gmax = rd.hier_gmax(bl, 2 if dtype == "df64" else 1)
+        gmax = _hier_gmax_cfg(bl, dtype)
         for b in range(g1 - g0):
             passes = rd.compile_hier(
                 net_h.kinds, net_h.dists, net_h.masks[:, b, :], bl, gmax=gmax
@@ -703,7 +717,7 @@ def build_routed_csr_hier(
         unperm = _split_hier(
             rd.compile_hier(
                 unet.kinds, unet.dists, unet.masks[:, 0, :], bl,
-                gmax=rd.hier_gmax(bl, 2 if dtype == "df64" else 1),
+                gmax=_hier_gmax_cfg(bl, dtype),
             )
         )
     if verbose:

@@ -290,3 +290,40 @@ def test_hier_gmax_rejects_oversized_blocks():
     with _pytest.raises(ValueError):
         rd.hier_gmax(1 << 19, 2)
     assert rd.hier_gmax(1 << 16, 2) >= 1
+
+
+def test_hier_apply_gmax3_matches_gather(rng):
+    """g=3 butterfly grouping (fewer, denser passes — the plan-size and
+    mask-stream lever) routes identically to the default g=2."""
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed as rd
+    from lilac_tpu.kernels import routenet as rn
+
+    n, T, bl = 3000, 8192, 256  # m = 8192 -> 32 blocks: 5 block bits
+    idx = rng.integers(0, n, size=(1, T))
+    net = rn.build_gather_network(idx, n, drop_empty=False)
+    passes = rd.compile_hier(net.kinds, net.dists, net.masks[:, 0, :], bl,
+                             gmax=3)
+    nb3 = sum(1 for p in passes if p[0] == "butterfly")
+    passes2 = rd.compile_hier(net.kinds, net.dists, net.masks[:, 0, :], bl,
+                              gmax=2)
+    nb2 = sum(1 for p in passes2 if p[0] == "butterfly")
+    assert nb3 < nb2, (nb3, nb2)  # fewer butterfly streams at g=3
+    x = rng.normal(size=n).astype(np.float32)
+    xp = np.zeros(net.m, np.float32)
+    xp[:n] = x
+    (out,) = rd.hier_apply(
+        [jnp.asarray(xp.reshape(-1, 128))], passes, bl, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1)[:T], x[idx[0]])
+
+
+def test_hier_builder_gmax_env_override(rng, monkeypatch):
+    """LILAC_HIER_GMAX reaches the hier plan builder through the config."""
+    from lilac_tpu.kernels import routed_spmv as rs
+
+    monkeypatch.setenv("LILAC_HIER_GMAX", "1")
+    assert rs._hier_gmax_cfg(1 << 16, "df64") == 1
+    monkeypatch.delenv("LILAC_HIER_GMAX")
+    assert rs._hier_gmax_cfg(1 << 16, "df64") == 2  # VMEM-derived default
