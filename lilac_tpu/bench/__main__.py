@@ -41,6 +41,10 @@ def main(argv=None):
     pg.add_argument("--kernels", default="auto,routed")
     pg.add_argument("--workload", default="pagerank", choices=["pagerank", "bfs"])
 
+    ps = sub.add_parser("spgemm")  # C = A*B paths: esc / masked-dense / host
+    ps.add_argument("--sizes", default="16,24,32")
+    ps.add_argument("--mean-nnz", type=float, default=8.0)
+
     pw = sub.add_parser("weak-scaling")  # per-device nnz/s vs device count
     pw.add_argument("--per-dev-n", type=int, default=65536)
     pw.add_argument("--mean-nnz", type=float, default=16.0)
@@ -72,6 +76,38 @@ def main(argv=None):
         from lilac_tpu.config import cfg
 
         print(cfg().describe())
+        return 0
+    if args.cmd == "spgemm":
+        import time
+
+        import numpy as np
+
+        from lilac_tpu.generate.random_crs import random_crs
+        from lilac_tpu.ops import spgemm
+
+        for size in map(int, args.sizes.split(",")):
+            a = random_crs(size, seed=3, mean_nnz=args.mean_nnz,
+                           std_nnz=args.mean_nnz / 2)
+            b = random_crs(size, seed=4, mean_nnz=args.mean_nnz,
+                           std_nnz=args.mean_nnz / 2)
+            n = a[3][0]
+            acsr, bcsr = a[:3], b[:3]
+            t0 = time.perf_counter()
+            ref = spgemm.expand_csr(acsr, bcsr, a[3], b[3])
+            t_host = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            esc = spgemm.esc_spgemm(acsr, bcsr, a[3], b[3])
+            t_esc = time.perf_counter() - t0
+            ok = (np.array_equal(esc[0], ref[0])
+                  and np.array_equal(esc[1], ref[1]))
+            line = (f"  n={n:>8d} nnzA={len(a[1]):>9d} nnzC={len(ref[1]):>9d}"
+                    f"  host {t_host:7.3f}s  esc(device) {t_esc:7.3f}s"
+                    f"  struct_match={ok}")
+            if n * n <= 64_000_000:  # densified path only when it fits
+                t0 = time.perf_counter()
+                spgemm.masked_dense(acsr, bcsr, a[3], b[3])
+                line += f"  masked-dense {time.perf_counter()-t0:7.3f}s"
+            print(line)
         return 0
     if args.cmd == "weak-scaling":
         # BASELINE target: >=70% weak-scaling nnz/s at >=2 hosts. This

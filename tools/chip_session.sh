@@ -45,6 +45,12 @@ EOF
 # 5. marshalling probe incl. routed plans (verdict item 8 check)
 step marshall 1200 python -m lilac_tpu.bench marshall --size 30
 
+# 5b. SpGEMM paths on device
+step spgemm 1200 python -m lilac_tpu.bench spgemm --sizes 16,24,32,48
+
+# 5c. weak-scaling measurement path (1 real chip: validates the harness)
+step weak_scaling 900 python -m lilac_tpu.bench weak-scaling --devices 1
+
 # 6. autotune collection (resumable; bounded to ~50 min) + train
 step autotune_collect 3300 python -m lilac_tpu.bench autotune-collect --budget-s 3000 --reps 10
 step autotune_train 300 python -m lilac_tpu.bench autotune-train
