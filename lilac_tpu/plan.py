@@ -46,6 +46,7 @@ class SpmvPlan:
         dtype: str = "f32",
         kernel: str = "auto",
         reuse: str = "once",
+        cache_key: str | None = None,
     ):
         self.reuse = reuse
         self.shape = tuple(shape)
@@ -95,12 +96,40 @@ class SpmvPlan:
                 "f64" if dtype == "f64" else "f32"
             )
             hier = kernel.startswith("routed_hier") or shape[1] > (1 << 18)
-            if hier:
-                self.A = build_routed_csr_hier(indptr, indices, data, shape, dtype=vdt)
-                base = "routed_hier"
-            else:
-                self.A = build_routed_csr(indptr, indices, data, shape, dtype=vdt)
-                base = "routed"
+            self.A = None
+            cache_path = None
+            if cache_key is not None:
+                # routed plans are minutes of host work at multi-million-row
+                # sizes — disk-cache them like the NPB factored operator
+                # does (the SparseX tune-once trade, sparsex.c:68-70)
+                import os as _os
+
+                from lilac_tpu.config import cfg as _cfg
+                from lilac_tpu.kernels.routed_spmv import load_routed, save_routed
+
+                ddir = _cfg().resolved_data_dir()
+                _os.makedirs(ddir, exist_ok=True)
+                cache_path = _os.path.join(ddir, f"plan_{cache_key}_{vdt}.npz")
+                if _os.path.exists(cache_path):
+                    try:
+                        self.A = load_routed(cache_path)
+                    except Exception:
+                        self.A = None
+            if self.A is None:
+                if hier:
+                    from lilac_tpu.config import cfg as _cfg
+
+                    self.A = build_routed_csr_hier(
+                        indptr, indices, data, shape, dtype=vdt,
+                        bl=_cfg().hier_bl,
+                    )
+                else:
+                    self.A = build_routed_csr(indptr, indices, data, shape, dtype=vdt)
+                if cache_path is not None:
+                    save_routed(cache_path, self.A)
+            from lilac_tpu.kernels.routed_spmv import RoutedMatHier as _RMH
+
+            base = "routed_hier" if isinstance(self.A, _RMH) else "routed"
             self.kernel = kernel = base + ("_df" if vdt == "df64" else "")
         else:
             raise ValueError(f"kernel {kernel!r} not wired into SpmvPlan yet")

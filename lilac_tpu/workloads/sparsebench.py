@@ -357,11 +357,22 @@ def benchmark(size: int, *, maxit=100, rtol=1e-6, dtype="df64", seed=0,
         )
     from lilac_tpu.plan import transposed_plan
 
-    plan = SpmvPlan(indptr, indices, data, shape, dtype=dtype, kernel=kernel)
+    ck = ckt = None
+    if kernel.startswith("routed"):
+        # key the routed-plan disk cache on everything that shapes the
+        # container: matrix identity, relabel, and the hier knobs
+        from lilac_tpu.config import cfg as _cfg
+
+        conf = _cfg()
+        g = conf.hier_gmax if conf.hier_gmax is not None else "a"
+        tag = f"sb{size}s{seed}r{int(sigma_relabel)}bl{conf.hier_bl}g{g}"
+        ck, ckt = tag + "_F", tag + "_T"
+    plan = SpmvPlan(indptr, indices, data, shape, dtype=dtype, kernel=kernel,
+                    cache_key=ck)
     # true-transpose operator as its own forward plan (BiCG needs A^T p;
     # a transposed plan keeps both directions on the fast gather path)
     plan_t = transposed_plan(indptr, indices, data, shape, dtype=dtype,
-                             kernel=kernel)
+                             kernel=kernel, cache_key=ckt)
     alg = get_algebra(dtype)
     b = plan.vec_in(np.ones(n))
     x0 = plan.vec_in(np.zeros(n))

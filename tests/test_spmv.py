@@ -102,6 +102,24 @@ def test_plan(small_csr, rng, dtype):
     np.testing.assert_allclose(y, y_ref, rtol=rtol, atol=rtol)
 
 
+def test_plan_routed_cache_key(small_csr, rng, tmp_path, monkeypatch):
+    """cache_key persists routed containers to the data dir and a second
+    plan build loads them bit-exactly (no rebuild)."""
+    from lilac_tpu.kernels.routed_spmv import routed_spmv
+
+    monkeypatch.setenv("LILAC_DATA_DIR", str(tmp_path))
+    arrs, shape, x, _, y_ref, _ = _oracle(small_csr, rng)
+    p1 = SpmvPlan(*arrs, shape, dtype="f32", kernel="routed", cache_key="tc")
+    files = sorted(f.name for f in tmp_path.iterdir())
+    assert files == ["plan_tc_f32.npz"]
+    p2 = SpmvPlan(*arrs, shape, dtype="f32", kernel="routed", cache_key="tc")
+    assert p2.kernel == p1.kernel
+    y1 = np.asarray(routed_spmv(p1.A, jnp.asarray(x, np.float32), interpret=True))
+    y2 = np.asarray(routed_spmv(p2.A, jnp.asarray(x, np.float32), interpret=True))
+    np.testing.assert_array_equal(y1, y2)
+    np.testing.assert_allclose(y2, y_ref, rtol=2e-4, atol=2e-4)
+
+
 def test_dfloat_primitives():
     a = df.from_f64(np.array([1.0 / 3.0, 1e8, -2.5e-7]))
     b = df.from_f64(np.array([2.0 / 7.0, 3.7e-8, 1e9]))

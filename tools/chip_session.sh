@@ -42,6 +42,15 @@ r = sb.benchmark(160, dtype="df64", kernel="routed", sigma_relabel=True)
 print(r); os._exit(0)
 EOF
 
+# 4b. same bench at bl=2^15/g=3 (PLAN stage-count lever: fewer outer
+# passes for df64 hier plans; plans pre-built on host under data/)
+step sb160_bl15 5400 env LILAC_HIER_BL=32768 python - <<'EOF'
+import os
+from lilac_tpu.workloads import sparsebench as sb
+r = sb.benchmark(160, dtype="df64", kernel="routed", sigma_relabel=True)
+print(r); os._exit(0)
+EOF
+
 # 5. marshalling probe incl. routed plans (verdict item 8 check)
 step marshall 1200 python -m lilac_tpu.bench marshall --size 30
 
