@@ -316,6 +316,49 @@ class SBBenchResult:
     kernel: str
 
 
+def build_bench_plans(size: int, *, dtype="df64", seed=0, kernel="auto",
+                      sigma_relabel=None):
+    """Stage the benchmark-mode operator pair (A, Aᵀ as its own forward
+    plan). Split out of benchmark() so a host-only job can pre-build the
+    routed plan disk caches without touching the device. Returns
+    (plan, plan_t, n)."""
+    from lilac_tpu.generate.random_crs import random_crs
+    from lilac_tpu.plan import SpmvPlan, transposed_plan
+
+    indptr, indices, data, shape = random_crs(size, seed=seed)
+    n = shape[0]
+    if sigma_relabel is None:
+        sigma_relabel = kernel.startswith("routed")
+    if sigma_relabel:
+        from lilac_tpu.formats.convert import coo_to_csr_arrays
+
+        counts = np.diff(indptr)
+        order = np.argsort(-counts, kind="stable")
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        rows_old = np.repeat(np.arange(n, dtype=np.int64), counts)
+        indptr, indices, data = coo_to_csr_arrays(
+            rank[rows_old], rank[indices], data, shape, sum_duplicates=False
+        )
+    ck = ckt = None
+    if kernel.startswith("routed"):
+        # key the routed-plan disk cache on everything that shapes the
+        # container: matrix identity, relabel, and the hier knobs
+        from lilac_tpu.config import cfg as _cfg
+
+        conf = _cfg()
+        g = conf.hier_gmax if conf.hier_gmax is not None else "a"
+        tag = f"sb{size}s{seed}r{int(sigma_relabel)}bl{conf.hier_bl}g{g}"
+        ck, ckt = tag + "_F", tag + "_T"
+    plan = SpmvPlan(indptr, indices, data, shape, dtype=dtype, kernel=kernel,
+                    cache_key=ck)
+    # true-transpose operator as its own forward plan (BiCG needs A^T p;
+    # a transposed plan keeps both directions on the fast gather path)
+    plan_t = transposed_plan(indptr, indices, data, shape, dtype=dtype,
+                             kernel=kernel, cache_key=ckt)
+    return plan, plan_t, n
+
+
 def benchmark(size: int, *, maxit=100, rtol=1e-6, dtype="df64", seed=0,
               kernel="auto", sigma_relabel=None) -> SBBenchResult:
     """The reference's benchmark protocol (SparseBench/run_all:36-42): a
@@ -335,44 +378,13 @@ def benchmark(size: int, *, maxit=100, rtol=1e-6, dtype="df64", seed=0,
     un-permute."""
     import jax
 
-    from lilac_tpu.generate.random_crs import random_crs
-    from lilac_tpu.plan import SpmvPlan
     from lilac_tpu.solvers.algebra import get_algebra
     from lilac_tpu.solvers.bicg import bicg_solve
 
-    indptr, indices, data, shape = random_crs(size, seed=seed)
-    n = shape[0]
-    if sigma_relabel is None:
-        sigma_relabel = kernel.startswith("routed")
-    if sigma_relabel:
-        from lilac_tpu.formats.convert import coo_to_csr_arrays
-
-        counts = np.diff(indptr)
-        order = np.argsort(-counts, kind="stable")
-        rank = np.empty(n, dtype=np.int64)
-        rank[order] = np.arange(n)
-        rows_old = np.repeat(np.arange(n, dtype=np.int64), counts)
-        indptr, indices, data = coo_to_csr_arrays(
-            rank[rows_old], rank[indices], data, shape, sum_duplicates=False
-        )
-    from lilac_tpu.plan import transposed_plan
-
-    ck = ckt = None
-    if kernel.startswith("routed"):
-        # key the routed-plan disk cache on everything that shapes the
-        # container: matrix identity, relabel, and the hier knobs
-        from lilac_tpu.config import cfg as _cfg
-
-        conf = _cfg()
-        g = conf.hier_gmax if conf.hier_gmax is not None else "a"
-        tag = f"sb{size}s{seed}r{int(sigma_relabel)}bl{conf.hier_bl}g{g}"
-        ck, ckt = tag + "_F", tag + "_T"
-    plan = SpmvPlan(indptr, indices, data, shape, dtype=dtype, kernel=kernel,
-                    cache_key=ck)
-    # true-transpose operator as its own forward plan (BiCG needs A^T p;
-    # a transposed plan keeps both directions on the fast gather path)
-    plan_t = transposed_plan(indptr, indices, data, shape, dtype=dtype,
-                             kernel=kernel, cache_key=ckt)
+    plan, plan_t, n = build_bench_plans(
+        size, dtype=dtype, seed=seed, kernel=kernel,
+        sigma_relabel=sigma_relabel,
+    )
     alg = get_algebra(dtype)
     b = plan.vec_in(np.ones(n))
     x0 = plan.vec_in(np.zeros(n))

@@ -31,11 +31,18 @@ step bench_ladder 900 python bench.py
 # 2. class C breakdown (verdict item 4)
 step profile_C 1500 python tools/profile_classC.py C
 
+# 2b. class C at f32: expected to FAIL zeta (documents the df64 floor,
+# verdict item 4's accepted alternative) while banking the f32 wall time
+# -> quantifies what df64's two-plane arithmetic costs on the same path
+step bench_C_f32 900 env LILAC_BENCH_CLASS=C LILAC_BENCH_DTYPE=f32 LILAC_BENCH_BUDGET_S=800 python bench.py
+
 # 3. roofline table at 3+ sizes, gather vs routed (verdict item 2)
 step roofline 2400 python -m lilac_tpu.bench spmv-roofline --sizes 20,40,60 --kernels auto,routed
 
-# 4. SparseBench size-160 BiCG, routed, sigma relabel ON (verdict item 3)
-step sb160_sigma 5400 python - <<'EOF'
+# 4. SparseBench size-160 BiCG, routed, sigma relabel ON (verdict item 3).
+# g=3 matches the NPB routed2 cache config; plans pre-built on host by
+# tools/prebuild_sb160.py land in data/ under the same cache key.
+step sb160_sigma 5400 env LILAC_HIER_GMAX=3 python - <<'EOF'
 import os
 from lilac_tpu.workloads import sparsebench as sb
 r = sb.benchmark(160, dtype="df64", kernel="routed", sigma_relabel=True)
@@ -43,8 +50,8 @@ print(r); os._exit(0)
 EOF
 
 # 4b. same bench at bl=2^15/g=3 (PLAN stage-count lever: fewer outer
-# passes for df64 hier plans; plans pre-built on host under data/)
-step sb160_bl15 5400 env LILAC_HIER_BL=32768 python - <<'EOF'
+# passes for df64 hier plans)
+step sb160_bl15 5400 env LILAC_HIER_BL=32768 LILAC_HIER_GMAX=3 python - <<'EOF'
 import os
 from lilac_tpu.workloads import sparsebench as sb
 r = sb.benchmark(160, dtype="df64", kernel="routed", sigma_relabel=True)
