@@ -76,15 +76,31 @@ class BFSResult:
 
 def run_benchmark(
     indptr, indices, data, shape, *, runs: int = 16, seed: int = 0,
-    kernel: str = "auto",
+    kernel: str = "auto", relabel: bool | None = None,
 ) -> BFSResult:
-    """16 random-source BFS runs, wall-clock timed (bfs.cc:80-95)."""
+    """16 random-source BFS runs, wall-clock timed (bfs.cc:80-95).
+
+    relabel (default: on for routed kernels): BFS levels are invariant
+    under graph isomorphism, so running on the length-sorted similarity
+    A' = P A Pᵀ (sources mapped through P) does identical work while the
+    routed plan's per-matvec un-permute network vanishes."""
+    if relabel is None:
+        relabel = kernel.startswith("routed")
+    rank = None
+    if relabel:
+        from lilac_tpu.formats.convert import length_relabel_csr
+
+        indptr, indices, data, _order, rank = length_relabel_csr(
+            indptr, indices, data, shape
+        )
     plan = SpmvPlan(
         indptr, indices, np.ones_like(data), shape, dtype="f32", kernel=kernel,
         reuse="many",
     )
     rng = np.random.default_rng(seed)
     sources = rng.integers(0, shape[0], size=runs)
+    if rank is not None:
+        sources = rank[sources]
     bfs_distances(plan, int(sources[0]))  # compile warm-up
     t0 = time.perf_counter()
     for s in sources:

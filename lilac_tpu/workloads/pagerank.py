@@ -55,13 +55,30 @@ def run(
     x0: Optional[np.ndarray] = None,
     kernel: str = "auto",
     plan: Optional[SpmvPlan] = None,
+    relabel: Optional[bool] = None,
 ) -> PageRankResult:
     """plan: optional pre-staged SpmvPlan built from the ALREADY
     column-normalised-and-d-scaled values (scale_values) — lets callers
-    (bench ingest) time the marshalling phase separately."""
+    (bench ingest) time the marshalling phase separately.
+
+    relabel (default: on for routed kernels): iterate on the similarity
+    A' = P A Pᵀ with rows length-sorted so the routed plan's per-matvec
+    un-permute network vanishes (formats.convert.length_relabel_csr).
+    The iteration map commutes with P — y = (dM)x + (1−d)·mean and the
+    step-difference norm are permutation-equivariant — so the fixed
+    point and error history are identical; x is mapped back on return."""
     n = shape[0]
+    if relabel is None:
+        relabel = kernel.startswith("routed") and plan is None
+    order = None
     if plan is None:
         scaled = normalise_columns(indptr, indices, data, shape) * d
+        if relabel:
+            from lilac_tpu.formats.convert import length_relabel_csr
+
+            indptr, indices, scaled, order, _rank = length_relabel_csr(
+                indptr, indices, scaled, shape
+            )
         plan = SpmvPlan(
             indptr, indices, scaled, shape, dtype=dtype, kernel=kernel,
             reuse="many",
@@ -71,6 +88,8 @@ def run(
         rng = np.random.default_rng(seed)
         x0 = rng.random(n)
         x0 /= x0.sum()
+    if order is not None:
+        x0 = np.asarray(x0)[order]
 
     @jax.jit
     def run_iters(A, x):
@@ -94,6 +113,11 @@ def run(
         err_v = float(np.asarray(err))  # host readback forces completion
         times.append(time.perf_counter() - t0)
 
+    x_out = plan.vec_out(xf)
+    if order is not None:
+        x_nat = np.empty_like(x_out)
+        x_nat[order] = x_out
+        x_out = x_nat
     return PageRankResult(
-        x=plan.vec_out(xf), error=err_v, iters=iters, times_s=times, nnz=plan.nnz
+        x=x_out, error=err_v, iters=iters, times_s=times, nnz=plan.nnz
     )

@@ -330,15 +330,10 @@ def build_bench_plans(size: int, *, dtype="df64", seed=0, kernel="auto",
     if sigma_relabel is None:
         sigma_relabel = kernel.startswith("routed")
     if sigma_relabel:
-        from lilac_tpu.formats.convert import coo_to_csr_arrays
+        from lilac_tpu.formats.convert import length_relabel_csr
 
-        counts = np.diff(indptr)
-        order = np.argsort(-counts, kind="stable")
-        rank = np.empty(n, dtype=np.int64)
-        rank[order] = np.arange(n)
-        rows_old = np.repeat(np.arange(n, dtype=np.int64), counts)
-        indptr, indices, data = coo_to_csr_arrays(
-            rank[rows_old], rank[indices], data, shape, sum_duplicates=False
+        indptr, indices, data, _order, _rank = length_relabel_csr(
+            indptr, indices, data, shape
         )
     ck = ckt = None
     if kernel.startswith("routed"):

@@ -76,6 +76,40 @@ def test_pagerank_routed_matches_gather_kernel(rng):
     np.testing.assert_allclose(r1.x, r2.x, rtol=2e-4, atol=1e-7)
 
 
+def test_pagerank_relabel_same_fixed_point(rng):
+    """The length-sorted similarity drops the routed un-permute network;
+    the returned (un-permuted) fixed point must match the natural-order
+    run to float tolerance."""
+    from lilac_tpu.generate.graphs import powerlaw_graph
+    from lilac_tpu.workloads import pagerank
+
+    indptr, indices, data, shape = powerlaw_graph(1200, avg_deg=6.0, seed=3)
+    r1 = pagerank.run(indptr, indices, data, shape, iters=25, runs=1,
+                      dtype="f32", kernel="routed", relabel=False)
+    r2 = pagerank.run(indptr, indices, data, shape, iters=25, runs=1,
+                      dtype="f32", kernel="routed", relabel=True)
+    np.testing.assert_allclose(r1.x, r2.x, rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(r1.error, r2.error, rtol=2e-3, atol=1e-7)
+
+
+def test_bfs_relabel_distances_match_oracle(rng):
+    """BFS on the relabeled graph with a rank-mapped source, distances
+    un-permuted back, equals the natural-order oracle exactly."""
+    from lilac_tpu.formats.convert import length_relabel_csr
+    from lilac_tpu.generate.graphs import powerlaw_graph
+    from lilac_tpu.plan import SpmvPlan
+    from lilac_tpu.workloads.bfs import bfs_distances, bfs_oracle
+
+    g = powerlaw_graph(900, avg_deg=5.0, seed=4, symmetric=True)
+    ip, ix, dv, order, rank = length_relabel_csr(*g)
+    plan = SpmvPlan(ip, ix, np.ones_like(dv), g[3], dtype="f32",
+                    kernel="routed")
+    d_rel = bfs_distances(plan, int(rank[11]))
+    d_nat = np.empty_like(d_rel)
+    d_nat[order] = d_rel
+    np.testing.assert_array_equal(d_nat, bfs_oracle(*g, 11))
+
+
 def test_bfs_routed_matches_oracle(rng):
     from lilac_tpu.generate.graphs import powerlaw_graph
     from lilac_tpu.plan import SpmvPlan

@@ -61,6 +61,11 @@ EOF
 # 5. marshalling probe incl. routed plans (verdict item 8 check)
 step marshall 1200 python -m lilac_tpu.bench marshall --size 30
 
+# 5a. graph workloads at 1M nodes: routed plans now run relabeled (no
+# un-permute network) — re-measure vs round-1's 0.659s / 2.35s
+step graph_pagerank 2400 python -m lilac_tpu.bench graph-scale --n 1000000 --iters 128 --kernels auto,routed
+step graph_bfs 2400 python -m lilac_tpu.bench graph-scale --n 1000000 --workload bfs --kernels auto,routed
+
 # 5b. SpGEMM paths on device
 step spgemm 1200 python -m lilac_tpu.bench spgemm --sizes 16,24,32,48
 
