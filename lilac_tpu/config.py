@@ -47,6 +47,12 @@ KNOBS = (
     Knob("data_dir", "LILAC_DATA_DIR", str, None,
          "Directory for generated matrices and routed-plan caches "
          "(default: <repo>/data). LILAC_CACHE is an accepted alias."),
+    Knob("net_mode", "LILAC_NET_MODE", str, "monotone",
+         "Routing-network construction for single-table plans: 'monotone' "
+         "= concentrate + interval-multicast shift phases (fewer stages; "
+         "the broadcast phase folds away), 'benes' = the round-1 Beneš + "
+         "run-broadcast schedule. Hierarchical plans always use Beneš "
+         "(XOR stages group into butterfly passes; shifts cannot)."),
     Knob("hier_bl", "LILAC_HIER_BL", int, 1 << 16,
          "Hierarchical routed-network block length (VMEM-resident block "
          "size for inner-pass stages; power of two)."),
@@ -83,6 +89,7 @@ KNOBS = (
 @dataclasses.dataclass
 class Config:
     data_dir: Optional[str]
+    net_mode: str
     hier_bl: int
     hier_gmax: Optional[int]
     steps_per_dispatch: Optional[int]

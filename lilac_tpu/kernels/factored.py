@@ -137,9 +137,12 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
         _os.makedirs(cache_dir, exist_ok=True)
         V = VT = None
         # cache schema v2: i-space relabel changed slot layouts AND the
-        # matching s permutation — v1 "routed_*" caches are incompatible
+        # matching s permutation — v1 "routed_*" caches are incompatible.
+        # Single-table classes carry the net-mode tag (monotone schedules
+        # differ from Benes); hier classes always build Benes.
+        tag = "_m" if (n <= (1 << 18) and conf.net_mode == "monotone") else ""
         paths = [
-            _os.path.join(cache_dir, f"routed2_{cls.name}_{dtype}_{t}.npz")
+            _os.path.join(cache_dir, f"routed2_{cls.name}_{dtype}_{t}{tag}.npz")
             for t in ("V", "VT")
         ]
         if all(_os.path.exists(p) for p in paths):

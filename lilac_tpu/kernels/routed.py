@@ -40,6 +40,13 @@ def _stage_partner(y, kind: str, d: int, R: int, rowid, laneid):
         up = pltpu.roll(y, 128 - d, 1)
         down = pltpu.roll(y, d, 1)
         return jnp.where((laneid & d) == 0, up, down)
+    if kind == "shiftl":
+        # flat source i + d (cyclic): mirror of shift
+        if d >= 128:
+            return pltpu.roll(y, R - d // 128, 0)
+        a = pltpu.roll(y, 128 - d, 1)
+        b = pltpu.roll(a, R - 1, 0)
+        return jnp.where(laneid < 128 - d, a, b)
     # shift: flat source i - d (cyclic over the whole [R*128] plane)
     if d >= 128:
         return pltpu.roll(y, d // 128, 0)
@@ -540,6 +547,10 @@ def compile_hier(kinds, dists, masks_host, bl: int, *, gmax: int = 2):
     nbits = int(np.log2(nblocks))
     assert gmax >= 1
     assert nblocks * bl == m and nblocks & (nblocks - 1) == 0
+    # monotone ('shiftl') schedules are single-table-only by design: their
+    # shift stages cannot group into butterfly passes, so at hier scale
+    # they would cost more HBM pass traffic than the Benes schedule
+    assert all(k in ("xor", "shift") for k in kinds), kinds
 
     def flush_inner(buf, out):
         if not buf:

@@ -135,7 +135,26 @@ def build_routed_csr(
     vals = np.zeros((B, m) + dvals.shape[1:], dtype=dvals.dtype)
     vals[b_e, t_e] = dvals
 
-    net = rn.build_gather_network(idx_all, ncol, m)
+    from lilac_tpu.config import cfg as _cfg
+
+    mode = _cfg().net_mode
+    if mode == "monotone":
+        # pad slots carry value 0 products (vals there are 0), so their
+        # gather values are free — assign them to the chunk's MISSING
+        # column values: full value coverage empties the concentrate
+        # phase (delta_A -> 0, see routenet._monotone_stages)
+        assigned = np.zeros((B, m), dtype=bool)
+        assigned[b_e, t_e] = True
+        for b in range(B):
+            used = np.zeros(ncol, dtype=bool)
+            used[idx_all[b][assigned[b]]] = True
+            missing = np.nonzero(~used)[0]
+            pads = np.nonzero(~assigned[b])[0]
+            k = min(len(missing), len(pads))
+            if k:
+                idx_all[b, pads[:k]] = missing[:k]
+
+    net = rn.build_gather_network(idx_all, ncol, m, mode=mode)
     if verbose:
         print(
             f"routed: n={n} m={m} chunks={B} stages={len(net.kinds)} "

@@ -197,14 +197,86 @@ class GatherPlanHost:
         for kind, d, mask in zip(self.kinds, self.dists, self.masks):
             if kind == "xor":
                 src = e ^ d
+            elif kind == "shiftl":
+                src = (e + d) % m
             else:
                 src = (e - d) % m
             y = np.where(mask, y[rows, np.broadcast_to(src, (B, m))], y)
         return y
 
 
+def _monotone_stages(
+    sidx: np.ndarray, is_first: np.ndarray, m: int
+) -> List[Tuple[str, int, np.ndarray]]:
+    """Phases 1+2 as monotone shift networks (see build_gather_network).
+
+    Replaces [Beneš perm1 + run broadcast] with:
+
+      A. concentrate (kind 'shiftl', LSB-first): used value u_r moves
+         from slot u_r left to its rank slot r. The shift distances
+         δA_r = u_r − r (= #unused values below u_r) are non-decreasing
+         in r, so processing the bits of δA least-significant-first is
+         collision-free: a mid-flight collision at stage j would need
+         (δ2 mod 2^(j+1)) − (δ1 mod 2^(j+1)) = u2 − u1 > δ2 − δ1, i.e.
+         the mod difference to exceed the true difference, which forces a
+         wrap of −2^(j+1) on the smaller — impossible for δ2 ≥ δ1.
+
+      B. interval multicast (kind 'shift', MSB-first): sorted output
+         position p copies rank slot r(p)'s value, δB_p = p − r(p)
+         non-decreasing. Processing bits most-significant-first keeps the
+         invariant "after bits ≥ b, the value for output p sits at
+         r(p) + hi_b(δB_p)" (hi_b = δ with bits < b cleared): positions
+         of distinct ranks never collide at any level because hi_b is
+         monotone in δ, and outputs sharing a rank share the value, so
+         copies are coherent. This single phase realizes the spread AND
+         the run broadcast — the separate broadcast phase disappears.
+
+    Stage counts: ceil(log2(max δA + 1)) + ceil(log2(max δB + 1)), vs
+    Beneš' fixed 2·log2(m) − 1 + log2(max run). The win grows with value
+    coverage (δA → 0 when every value is used — callers fill don't-care
+    pad slots with missing values for exactly this reason).
+    """
+    B, T = sidx.shape
+    stages: List[Tuple[str, int, np.ndarray]] = []
+    if T == 0:
+        return stages
+    rank_of_pos = np.cumsum(is_first, axis=1) - 1  # [B, T] run index r(p)
+
+    # ---- phase A: concentrate used values to rank slots
+    b_f, p_f = np.nonzero(is_first)
+    u = sidx[b_f, p_f]
+    r = rank_of_pos[b_f, p_f]
+    dA = u - r
+    assert (dA >= 0).all()
+    maxA = int(dA.max()) if len(dA) else 0
+    j = 0
+    while (1 << j) <= maxA:
+        sel = (dA >> j) & 1 == 1
+        dest = u[sel] - (dA[sel] & ((2 << j) - 1))
+        mask = np.zeros((B, m), dtype=bool)
+        mask[b_f[sel], dest] = True
+        stages.append(("shiftl", 1 << j, mask))
+        j += 1
+
+    # ---- phase B: monotone interval multicast rank slot -> run interval
+    dB = np.arange(T)[None, :] - rank_of_pos  # [B, T] >= 0
+    maxB = int(dB.max())
+    nb = maxB.bit_length()
+    for bbit in range(nb - 1, -1, -1):
+        sel = ((dB >> bbit) & 1) == 1
+        bsel, psel = np.nonzero(sel)
+        dest = rank_of_pos[bsel, psel] + (
+            (dB[bsel, psel] >> bbit) << bbit
+        )
+        mask = np.zeros((B, m), dtype=bool)
+        mask[bsel, dest] = True
+        stages.append(("shift", 1 << bbit, mask))
+    return stages
+
+
 def build_gather_network(
-    idx: np.ndarray, n: int, m: int | None = None, *, drop_empty: bool = True
+    idx: np.ndarray, n: int, m: int | None = None, *, drop_empty: bool = True,
+    mode: str = "benes",
 ) -> GatherPlanHost:
     """Build routing networks computing out[b, k] = x[b, idx[b, k]].
 
@@ -213,6 +285,14 @@ def build_gather_network(
     dropped (common when idx is partially sorted) unless drop_empty=False
     (hierarchical nets keep the canonical schedule so every net shares
     the same pass structure and Mosaic kernel cache entries).
+
+    mode: 'benes' = Beneš perm1 + run broadcast (any stage distance
+    profile; the right choice for hierarchical nets, whose XOR stages
+    group into cheap butterfly passes); 'monotone' = concentrate +
+    interval-multicast shift phases (_monotone_stages) — fewer stages
+    (the whole broadcast phase folds away), best for single-table nets
+    where every stage costs the same. Both end with the same Beneš
+    perm2 to the requested slot order.
     """
     idx = np.asarray(idx, dtype=np.int64)
     if idx.ndim == 1:
@@ -231,36 +311,41 @@ def build_gather_network(
     is_first = np.ones((B, T), dtype=bool)
     is_first[:, 1:] = sidx[:, 1:] != sidx[:, :-1]
 
-    # ---- permutation 1: value v (slot v) -> first position of its run
-    perm1 = np.full((B, m), -1, dtype=np.int64)
-    firsts = np.nonzero(is_first)  # (b_list, p_list) sorted by (b, p)
-    perm1[firsts[0], sidx[firsts[0], firsts[1]]] = firsts[1]
-    # fill unassigned sources with unassigned targets, in order (keeps the
-    # filler near-monotone -> fewer set switches)
-    unassigned_src = perm1 < 0
-    tgt_taken = np.zeros((B, m), dtype=bool)
-    tgt_taken[firsts[0], firsts[1]] = True
-    for b in range(B):
-        src = np.nonzero(unassigned_src[b])[0]
-        tgt = np.nonzero(~tgt_taken[b])[0]
-        perm1[b, src] = tgt
-    stages1 = _benes_stages(perm1)
-
-    # ---- broadcast: offset within run, copy from k - 2^msb(o)
-    run_first = np.maximum.accumulate(
-        np.where(is_first, np.arange(T)[None, :], 0), axis=1
-    )
-    off = np.arange(T)[None, :] - run_first
+    stages1: List[Tuple[int, np.ndarray]] = []
     bcast: List[Tuple[int, np.ndarray]] = []
-    max_off = int(off.max()) if T else 0
-    j = 0
-    while (1 << j) <= max_off:
-        d = 1 << j
-        sel = (off >> j) == 1  # msb(off) == j  <=>  off in [2^j, 2^(j+1))
-        mask = np.zeros((B, m), dtype=bool)
-        mask[:, :T] = sel
-        bcast.append((d, mask))
-        j += 1
+    mono: List[Tuple[str, int, np.ndarray]] = []
+    if mode == "monotone":
+        mono = _monotone_stages(sidx, is_first, m)
+    else:
+        # ---- permutation 1: value v (slot v) -> first position of its run
+        perm1 = np.full((B, m), -1, dtype=np.int64)
+        firsts = np.nonzero(is_first)  # (b_list, p_list) sorted by (b, p)
+        perm1[firsts[0], sidx[firsts[0], firsts[1]]] = firsts[1]
+        # fill unassigned sources with unassigned targets, in order (keeps
+        # the filler near-monotone -> fewer set switches)
+        unassigned_src = perm1 < 0
+        tgt_taken = np.zeros((B, m), dtype=bool)
+        tgt_taken[firsts[0], firsts[1]] = True
+        for b in range(B):
+            src = np.nonzero(unassigned_src[b])[0]
+            tgt = np.nonzero(~tgt_taken[b])[0]
+            perm1[b, src] = tgt
+        stages1 = _benes_stages(perm1)
+
+        # ---- broadcast: offset within run, copy from k - 2^msb(o)
+        run_first = np.maximum.accumulate(
+            np.where(is_first, np.arange(T)[None, :], 0), axis=1
+        )
+        off = np.arange(T)[None, :] - run_first
+        max_off = int(off.max()) if T else 0
+        j = 0
+        while (1 << j) <= max_off:
+            d = 1 << j
+            sel = (off >> j) == 1  # msb(off) == j <=> off in [2^j, 2^(j+1))
+            mask = np.zeros((B, m), dtype=bool)
+            mask[:, :T] = sel
+            bcast.append((d, mask))
+            j += 1
 
     # ---- permutation 2: sorted position p -> requested slot ord[p]
     perm2 = np.broadcast_to(np.arange(m), (B, m)).copy()
@@ -274,6 +359,8 @@ def build_gather_network(
     kinds: List[str] = []
     dists: List[int] = []
     masks: List[np.ndarray] = []
+    for k, d, mk in mono:
+        kinds.append(k); dists.append(d); masks.append(mk)
     for d, mk in stages1:
         kinds.append("xor"); dists.append(d); masks.append(mk)
     for d, mk in bcast:

@@ -107,9 +107,19 @@ class SpmvPlan:
                 from lilac_tpu.config import cfg as _cfg
                 from lilac_tpu.kernels.routed_spmv import load_routed, save_routed
 
-                ddir = _cfg().resolved_data_dir()
+                conf = _cfg()
+                ddir = conf.resolved_data_dir()
                 _os.makedirs(ddir, exist_ok=True)
-                cache_path = _os.path.join(ddir, f"plan_{cache_key}_{vdt}.npz")
+                # single-table plans embed the net-mode schedule; hier
+                # plans are always Benes and keep the untagged name
+                mtag = (
+                    "_m"
+                    if (not hier and conf.net_mode == "monotone")
+                    else ""
+                )
+                cache_path = _os.path.join(
+                    ddir, f"plan_{cache_key}_{vdt}{mtag}.npz"
+                )
                 if _os.path.exists(cache_path):
                     try:
                         self.A = load_routed(cache_path)

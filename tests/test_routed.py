@@ -258,6 +258,53 @@ def test_hier_cache_roundtrip(rng, tmp_path):
     np.testing.assert_array_equal(y1, y2)
 
 
+def test_monotone_mode_matches_benes_and_cuts_stages(rng, monkeypatch):
+    """The concentrate + interval-multicast schedule (LILAC_NET_MODE=
+    monotone, the default) must produce the exact same SpMV results as
+    the round-1 Benes + broadcast schedule, with fewer stages."""
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed_spmv as rs
+
+    A = _random_csr_spread(rng, 1200, 900, 6.0)
+    x = rng.normal(size=A.shape[1]).astype(np.float32)
+    outs, stages = {}, {}
+    for mode in ("benes", "monotone"):
+        monkeypatch.setenv("LILAC_NET_MODE", mode)
+        M = rs.build_routed_csr(A.indptr, A.indices, A.data, A.shape,
+                                dtype="f32")
+        outs[mode] = np.asarray(rs.routed_spmv(M, jnp.asarray(x),
+                                               interpret=True))
+        stages[mode] = len(M.kinds)
+    # identical products: both schedules deliver the same gathered values
+    # to the same slots, and the reduce is shared
+    np.testing.assert_array_equal(outs["benes"], outs["monotone"])
+    assert stages["monotone"] < stages["benes"], stages
+
+
+def test_monotone_gather_heavy_duplication(rng):
+    """Interval multicast must be exact under long runs (the regime where
+    it folds the whole broadcast phase away)."""
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed as rd
+    from lilac_tpu.kernels import routenet as rn
+
+    n, T = 50, 4096  # every value duplicated ~80x
+    idx = rng.integers(0, n, size=(2, T))
+    net = rn.build_gather_network(idx, n, 4096, mode="monotone")
+    R = net.m // 128
+    for b in range(2):
+        x = rng.normal(size=net.m).astype(np.float32)
+        masks = rd.masks_device(rn.GatherPlanHost(
+            kinds=net.kinds, dists=net.dists,
+            masks=net.masks[:, b:b + 1, :], m=net.m))
+        (out,) = rd.routed_apply([jnp.asarray(x.reshape(R, 128))], masks,
+                                 net.kinds, net.dists, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(out).reshape(-1)[:T], x[idx[b]])
+
+
 def test_routed_spmv_unsorted_varying_rows(rng):
     """Regression: with sort_rows=False the chunk width must cover the
     chunk's true max row length (a tridiagonal system's first row is

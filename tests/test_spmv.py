@@ -111,7 +111,7 @@ def test_plan_routed_cache_key(small_csr, rng, tmp_path, monkeypatch):
     arrs, shape, x, _, y_ref, _ = _oracle(small_csr, rng)
     p1 = SpmvPlan(*arrs, shape, dtype="f32", kernel="routed", cache_key="tc")
     files = sorted(f.name for f in tmp_path.iterdir())
-    assert files == ["plan_tc_f32.npz"]
+    assert files == ["plan_tc_f32_m.npz"]  # single-table + default monotone
     p2 = SpmvPlan(*arrs, shape, dtype="f32", kernel="routed", cache_key="tc")
     assert p2.kernel == p1.kernel
     y1 = np.asarray(routed_spmv(p1.A, jnp.asarray(x, np.float32), interpret=True))

@@ -36,6 +36,10 @@ step profile_C 1500 python tools/profile_classC.py C
 # -> quantifies what df64's two-plane arithmetic costs on the same path
 step bench_C_f32 900 env LILAC_BENCH_CLASS=C LILAC_BENCH_DTYPE=f32 LILAC_BENCH_BUDGET_S=800 python bench.py
 
+# 2c. class C net-schedule A/B: monotone (default, 68 stages) vs the
+# round-1 Benes schedule (88 stages) — both plan caches are on disk
+step bench_C_benes 900 env LILAC_BENCH_CLASS=C LILAC_NET_MODE=benes LILAC_BENCH_BUDGET_S=800 python bench.py
+
 # 3. roofline table at 3+ sizes, gather vs routed (verdict item 2)
 step roofline 2400 python -m lilac_tpu.bench spmv-roofline --sizes 20,40,60 --kernels auto,routed
 
