@@ -65,6 +65,24 @@ def _pow2_at_least(x: int) -> int:
     return 1 << int(np.ceil(np.log2(max(x, 2))))
 
 
+def _fill_pads_with_missing(idx_all, b_e, t_e, ncol) -> None:
+    """Assign pad slots' (don't-care, zero-product) gather values to each
+    chunk net's MISSING column values: full value coverage empties the
+    monotone schedule's concentrate phase (routenet._monotone_stages).
+    Mutates idx_all in place."""
+    B, m = idx_all.shape
+    assigned = np.zeros((B, m), dtype=bool)
+    assigned[b_e, t_e] = True
+    for b in range(B):
+        used = np.zeros(ncol, dtype=bool)
+        used[idx_all[b][assigned[b]]] = True
+        missing = np.nonzero(~used)[0]
+        pads = np.nonzero(~assigned[b])[0]
+        k = min(len(missing), len(pads))
+        if k:
+            idx_all[b, pads[:k]] = missing[:k]
+
+
 def build_routed_csr(
     indptr: np.ndarray,
     indices: np.ndarray,
@@ -139,20 +157,7 @@ def build_routed_csr(
 
     mode = _cfg().net_mode
     if mode == "monotone":
-        # pad slots carry value 0 products (vals there are 0), so their
-        # gather values are free — assign them to the chunk's MISSING
-        # column values: full value coverage empties the concentrate
-        # phase (delta_A -> 0, see routenet._monotone_stages)
-        assigned = np.zeros((B, m), dtype=bool)
-        assigned[b_e, t_e] = True
-        for b in range(B):
-            used = np.zeros(ncol, dtype=bool)
-            used[idx_all[b][assigned[b]]] = True
-            missing = np.nonzero(~used)[0]
-            pads = np.nonzero(~assigned[b])[0]
-            k = min(len(missing), len(pads))
-            if k:
-                idx_all[b, pads[:k]] = missing[:k]
+        _fill_pads_with_missing(idx_all, b_e, t_e, ncol)
 
     net = rn.build_gather_network(idx_all, ncol, m, mode=mode)
     if verbose:
@@ -343,7 +348,13 @@ def build_routed_csr_seg(
         idx_all[b_e, t_e] = indices[sel] - s * seg_size
         vals = np.zeros((B, m) + dvals.shape[1:], dtype=dvals.dtype)
         vals[b_e, t_e] = dvals[sel]
-        net = rn.build_gather_network(idx_all, min(seg_size, ncol - s * seg_size), m)
+        from lilac_tpu.config import cfg as _cfg
+
+        mode = _cfg().net_mode
+        ncol_s = min(seg_size, ncol - s * seg_size)
+        if mode == "monotone":
+            _fill_pads_with_missing(idx_all, b_e, t_e, ncol_s)
+        net = rn.build_gather_network(idx_all, ncol_s, m, mode=mode)
         if verbose:
             print(
                 f"  seg {s}: chunks={B} stages={len(net.kinds)} "

@@ -179,7 +179,11 @@ class DistRoutedPlan:
         chunks, base, vals = pk["chunks"], pk["base"], pk["vals"]
         B = len(chunks)
 
-        net = rn.build_gather_network(base, n_pad, m, drop_empty=False)
+        # single-table per-shard nets: the monotone schedule applies (the
+        # batched build shares one canonical stage list across shards)
+        net = rn.build_gather_network(
+            base, n_pad, m, drop_empty=False, mode="monotone"
+        )
         masks = rd.masks_device(net)  # [ndev*B, P, R, 128]
         masks = masks.reshape((ndev, B) + masks.shape[1:])
 
@@ -545,7 +549,9 @@ class HaloRoutedPlan:
         # if b-major, scrambling every shard's networks whenever B > 1;
         # caught by the B=2 oracle regression test.)
 
-        net = rn.build_gather_network(base, T, m, drop_empty=False)
+        net = rn.build_gather_network(
+            base, T, m, drop_empty=False, mode="monotone"
+        )
         masks = rd.masks_device(net)
         masks = masks.reshape((ndev, B) + masks.shape[1:])
 
