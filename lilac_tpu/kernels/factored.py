@@ -67,9 +67,6 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
 
     cls = CLASSES[class_name.upper()]
     n = cls.na
-    nzv_arr, ivc, vc = _generate_triples(cls)
-    rows_i = np.repeat(np.arange(n, dtype=np.int64), nzv_arr)
-    pos_j = ivc - 1
 
     def to_vals(v):
         if dtype == "df64":
@@ -77,6 +74,9 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
             lo = (v - hi.astype(np.float64)).astype(np.float32)
             return np.stack([hi, lo], axis=-1)
         return v.astype({"f32": np.float32, "f64": np.float64}[dtype])
+
+    def to_dev(v):
+        return jnp.asarray(to_vals(np.asarray(v)))
 
     # Segmentation mode: matrices taller than one segment use the
     # scan-accumulated uniform-width layout (SegELLScan) — segment-local
@@ -100,6 +100,44 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
         mode = "routed" if _jax.default_backend() != "cpu" else "single"
     use_scan = mode == "scan"
     squant = conf.seg_quantile
+
+    paths = meta_path = None
+    if mode == "routed":
+        from lilac_tpu.kernels.routed_spmv import load_routed
+
+        cache_dir = conf.resolved_data_dir()
+        _os.makedirs(cache_dir, exist_ok=True)
+        # cache schema v2: i-space relabel changed slot layouts AND the
+        # matching s permutation — v1 "routed_*" caches are incompatible.
+        # Single-table classes carry the net-mode tag (monotone schedules
+        # differ from Benes); hier classes always build Benes.
+        tag = "_m" if (n <= (1 << 18) and conf.net_mode == "monotone") else ""
+        paths = [
+            _os.path.join(cache_dir, f"routed2_{cls.name}_{dtype}_{t}{tag}.npz")
+            for t in ("V", "VT")
+        ]
+        meta_path = _os.path.join(
+            cache_dir, f"routed2_{cls.name}_{dtype}_meta{tag}.npz"
+        )
+        if all(_os.path.exists(p) for p in paths + [meta_path]):
+            # full cache hit: the sidecar carries the already-permuted s
+            # and nnz_eff, so the (minutes at class D/E) makea triple
+            # regeneration is skipped entirely
+            try:
+                V, VT = load_routed(paths[0]), load_routed(paths[1])
+                z = np.load(meta_path, allow_pickle=False)
+                if V is not None and VT is not None:
+                    cont = FactoredNPB(
+                        V=V, VT=VT, s=to_dev(z["s"]),
+                        d0=to_dev(np.asarray(cls.rcond - cls.shift)),
+                    )
+                    return cont, int(z["nnz_eff"])
+            except Exception:
+                pass
+
+    nzv_arr, ivc, vc = _generate_triples(cls)
+    rows_i = np.repeat(np.arange(n, dtype=np.int64), nzv_arr)
+    pos_j = ivc - 1
 
     sigma_i = None
     if mode == "routed":
@@ -133,18 +171,7 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
             save_routed,
         )
 
-        cache_dir = conf.resolved_data_dir()
-        _os.makedirs(cache_dir, exist_ok=True)
         V = VT = None
-        # cache schema v2: i-space relabel changed slot layouts AND the
-        # matching s permutation — v1 "routed_*" caches are incompatible.
-        # Single-table classes carry the net-mode tag (monotone schedules
-        # differ from Benes); hier classes always build Benes.
-        tag = "_m" if (n <= (1 << 18) and conf.net_mode == "monotone") else ""
-        paths = [
-            _os.path.join(cache_dir, f"routed2_{cls.name}_{dtype}_{t}{tag}.npz")
-            for t in ("V", "VT")
-        ]
         if all(_os.path.exists(p) for p in paths):
             try:
                 V, VT = load_routed(paths[0]), load_routed(paths[1])
@@ -188,11 +215,10 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
         s = s[sigma_i]  # S' = P_i S P_i^T
     d0 = cls.rcond - cls.shift
 
-    def to_dev(v):
-        return jnp.asarray(to_vals(np.asarray(v)))
-
-    cont = FactoredNPB(V=V, VT=VT, s=to_dev(s), d0=to_dev(np.asarray(d0)))
     nnz_eff = int(nzv_arr.sum()) * 2
+    if mode == "routed" and meta_path is not None:
+        np.savez(meta_path, s=s, nnz_eff=np.int64(nnz_eff))
+    cont = FactoredNPB(V=V, VT=VT, s=to_dev(s), d0=to_dev(np.asarray(d0)))
     return cont, nnz_eff
 
 

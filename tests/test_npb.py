@@ -88,6 +88,29 @@ def test_factored_matches_assembled():
     assert np.abs(y1 - y2).max() < 1e-12 * scale
 
 
+def test_factored_routed_cache_and_sidecar(tmp_path, monkeypatch):
+    """Routed factored builds persist plan + meta sidecar; a second build
+    loads from cache (no triple regeneration) and matches exactly."""
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import factored as F
+
+    monkeypatch.setenv("LILAC_DATA_DIR", str(tmp_path))
+    monkeypatch.setenv("LILAC_FACTORED_SEGMODE", "routed")
+    c1, nnz1 = F.build_factored("S", dtype="df64")
+    names = sorted(f.name for f in tmp_path.iterdir())
+    assert "routed2_S_df64_meta_m.npz" in names, names
+    c2, nnz2 = F.build_factored("S", dtype="df64")
+    assert nnz1 == nnz2
+    np.testing.assert_array_equal(np.asarray(c1.s), np.asarray(c2.s))
+    x = np.random.default_rng(0).standard_normal(c1.s.shape[0])
+    from lilac_tpu.ops import dfloat as df
+
+    y1 = df.to_f64(F.factored_spmv_df(c1, df.from_f64(x)))
+    y2 = df.to_f64(F.factored_spmv_df(c2, df.from_f64(x)))
+    np.testing.assert_array_equal(y1, y2)
+
+
 def test_factored_class_s_df64():
     """Full factored class-S run. On real TPU this verifies to ~6e-16; the
     XLA:CPU backend's fusion inside the scanned CG program costs the df64
