@@ -80,6 +80,10 @@ step weak_scaling 900 python -m lilac_tpu.bench weak-scaling --devices 1
 step autotune_collect 3300 python -m lilac_tpu.bench autotune-collect --budget-s 3000 --reps 10
 step autotune_train 300 python -m lilac_tpu.bench autotune-train
 
+# 6b. NPB class D re-measured (meta sidecar kills the regen wall; the
+# default-budget ladder stops at C)
+step class_D 1500 env LILAC_BENCH_CLASS=D LILAC_BENCH_BUDGET_S=1400 python bench.py
+
 # 7. NPB class E (plans must be pre-built in data/ by the host job)
 step class_E 3600 env LILAC_BENCH_CLASS=E LILAC_BENCH_BUDGET_S=3500 python bench.py
 
