@@ -54,9 +54,12 @@ BASELINE_S = {
 
 # Walls measured this round on v5e via axon with warm compile cache
 # (cold adds a one-time ~4-5 min server init, absorbed by the first class).
-# Class D measured 676 s end-to-end even with its routed-plan cache: the
-# 2.1 GB plan load + 33M-triple regeneration + upload dominate its 98 s run.
-WARM_WALL_S = {"A": 15.0, "C": 55.0, "D": 650.0}
+# Class D measured 676 s end-to-end in round 1; since then the meta
+# sidecar killed the 33M-triple regeneration (46 s host) and the v2
+# plans are 15% smaller, so the estimate drops — optimism is safe here:
+# the ladder banks each verified rung on stdout BEFORE climbing, so a
+# class-D overrun still leaves a captured class-C line.
+WARM_WALL_S = {"A": 15.0, "C": 55.0, "D": 450.0}
 
 _best = None  # best completed result line (dict)
 _phase = "startup"  # what the run was doing when/if the watchdog fires
