@@ -62,6 +62,13 @@ r = sb.benchmark(160, dtype="df64", kernel="routed", sigma_relabel=True)
 print(r); os._exit(0)
 EOF
 
+# 4c. NPB class D re-measured (meta sidecar kills the regen wall; the
+# default-budget ladder stops at C)
+step class_D 1500 env LILAC_BENCH_CLASS=D LILAC_BENCH_BUDGET_S=1400 python bench.py
+
+# 4d. NPB class E (plans must be pre-built in data/ by the host job)
+step class_E 3600 env LILAC_BENCH_CLASS=E LILAC_BENCH_BUDGET_S=3500 python bench.py
+
 # 5. marshalling probe incl. routed plans (verdict item 8 check)
 step marshall 1200 python -m lilac_tpu.bench marshall --size 30
 
@@ -79,12 +86,5 @@ step weak_scaling 900 python -m lilac_tpu.bench weak-scaling --devices 1
 # 6. autotune collection (resumable; bounded to ~50 min) + train
 step autotune_collect 3300 python -m lilac_tpu.bench autotune-collect --budget-s 3000 --reps 10
 step autotune_train 300 python -m lilac_tpu.bench autotune-train
-
-# 6b. NPB class D re-measured (meta sidecar kills the regen wall; the
-# default-budget ladder stops at C)
-step class_D 1500 env LILAC_BENCH_CLASS=D LILAC_BENCH_BUDGET_S=1400 python bench.py
-
-# 7. NPB class E (plans must be pre-built in data/ by the host job)
-step class_E 3600 env LILAC_BENCH_CLASS=E LILAC_BENCH_BUDGET_S=3500 python bench.py
 
 log "battery complete"
