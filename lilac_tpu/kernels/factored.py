@@ -110,8 +110,18 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
         # cache schema v2: i-space relabel changed slot layouts AND the
         # matching s permutation — v1 "routed_*" caches are incompatible.
         # Single-table classes carry the net-mode tag (monotone schedules
-        # differ from Benes); hier classes always build Benes.
-        tag = "_m" if (n <= (1 << 18) and conf.net_mode == "monotone") else ""
+        # differ from Benes); hier classes always build Benes but honor
+        # the bl/gmax knobs, so non-default values get their own names
+        # (the default-config names match the shipped D/E caches).
+        if n <= (1 << 18):
+            tag = "_m" if conf.net_mode == "monotone" else ""
+        else:
+            g = conf.hier_gmax if conf.hier_gmax is not None else "a"
+            tag = (
+                ""
+                if (conf.hier_bl, g) == (1 << 16, "a")
+                else f"_bl{conf.hier_bl}g{g}"
+            )
         paths = [
             _os.path.join(cache_dir, f"routed2_{cls.name}_{dtype}_{t}{tag}.npz")
             for t in ("V", "VT")

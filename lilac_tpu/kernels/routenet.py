@@ -174,7 +174,8 @@ def _benes_stages(perm2d: np.ndarray) -> List[Tuple[int, np.ndarray]]:
 class GatherPlanHost:
     """Host-side stage schedule for a batch of same-size gather networks.
 
-    kinds[s]: 'xor' (partner i^d) or 'shift' (source i-d, cyclic roll)
+    kinds[s]: 'xor' (partner i^d), 'shift' (source i-d, cyclic roll), or
+              'shiftl' (source i+d — monotone concentrate phases)
     dists[s]: power-of-two distance
     masks:    [S, B, m] bool
     m:        network size (power of two); out slot k of net b computes
@@ -294,6 +295,7 @@ def build_gather_network(
     where every stage costs the same. Both end with the same Beneš
     perm2 to the requested slot order.
     """
+    assert mode in ("benes", "monotone"), f"unknown net mode {mode!r}"
     idx = np.asarray(idx, dtype=np.int64)
     if idx.ndim == 1:
         idx = idx[None]

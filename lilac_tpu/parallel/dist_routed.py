@@ -180,9 +180,12 @@ class DistRoutedPlan:
         B = len(chunks)
 
         # single-table per-shard nets: the monotone schedule applies (the
-        # batched build shares one canonical stage list across shards)
+        # batched build shares one canonical stage list across shards);
+        # LILAC_NET_MODE=benes remains the escape hatch / A-B lever
+        from lilac_tpu.config import cfg as _cfg
+
         net = rn.build_gather_network(
-            base, n_pad, m, drop_empty=False, mode="monotone"
+            base, n_pad, m, drop_empty=False, mode=_cfg().net_mode
         )
         masks = rd.masks_device(net)  # [ndev*B, P, R, 128]
         masks = masks.reshape((ndev, B) + masks.shape[1:])
@@ -549,8 +552,10 @@ class HaloRoutedPlan:
         # if b-major, scrambling every shard's networks whenever B > 1;
         # caught by the B=2 oracle regression test.)
 
+        from lilac_tpu.config import cfg as _cfg
+
         net = rn.build_gather_network(
-            base, T, m, drop_empty=False, mode="monotone"
+            base, T, m, drop_empty=False, mode=_cfg().net_mode
         )
         masks = rd.masks_device(net)
         masks = masks.reshape((ndev, B) + masks.shape[1:])

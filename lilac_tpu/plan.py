@@ -125,6 +125,10 @@ class SpmvPlan:
                         self.A = load_routed(cache_path)
                     except Exception:
                         self.A = None
+                    # a stale/colliding cache_key must not silently
+                    # compute with the wrong matrix
+                    if self.A is not None and tuple(self.A.shape) != self.shape:
+                        self.A = None
             if self.A is None:
                 if hier:
                     from lilac_tpu.config import cfg as _cfg

@@ -86,6 +86,7 @@ def run_benchmark(
     routed plan's per-matvec un-permute network vanishes."""
     if relabel is None:
         relabel = kernel.startswith("routed")
+    data = np.ones_like(data)  # BFS is pattern-only (values all 1.0)
     rank = None
     if relabel:
         from lilac_tpu.formats.convert import length_relabel_csr
@@ -94,7 +95,7 @@ def run_benchmark(
             indptr, indices, data, shape
         )
     plan = SpmvPlan(
-        indptr, indices, np.ones_like(data), shape, dtype="f32", kernel=kernel,
+        indptr, indices, data, shape, dtype="f32", kernel=kernel,
         reuse="many",
     )
     rng = np.random.default_rng(seed)

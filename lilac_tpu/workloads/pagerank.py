@@ -68,6 +68,11 @@ def run(
     step-difference norm are permutation-equivariant — so the fixed
     point and error history are identical; x is mapped back on return."""
     n = shape[0]
+    if relabel and plan is not None:
+        raise ValueError(
+            "relabel=True cannot apply to a pre-staged plan — stage the "
+            "plan from length_relabel_csr arrays instead"
+        )
     if relabel is None:
         relabel = kernel.startswith("routed") and plan is None
     order = None
