@@ -41,7 +41,7 @@ step bench_C_f32 900 env LILAC_BENCH_CLASS=C LILAC_BENCH_DTYPE=f32 LILAC_BENCH_B
 step bench_C_benes 900 env LILAC_BENCH_CLASS=C LILAC_NET_MODE=benes LILAC_BENCH_BUDGET_S=800 python bench.py
 
 # 3. roofline table at 3+ sizes, gather vs routed (verdict item 2)
-step roofline 2400 python -m lilac_tpu.bench spmv-roofline --sizes 20,40,60 --kernels auto,routed
+step roofline 3600 python -m lilac_tpu.bench spmv-roofline --sizes 20,40,60,100 --kernels auto,routed
 
 # 4. SparseBench size-160 BiCG, routed, sigma relabel ON (verdict item 3).
 # g=3 matches the NPB routed2 cache config; plans pre-built on host by
