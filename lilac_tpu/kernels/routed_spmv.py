@@ -447,6 +447,26 @@ def routed_seg_spmv_df(A: RoutedMatSeg, x: df.DF, *, interpret: bool = False) ->
 _CACHE_VERSION = 2
 
 
+def _savez_atomic(path: str, **kv) -> None:
+    """np.savez via a per-process temp + os.replace: a concurrent reader
+    (e.g. a chip session loading while a host prebuild writes the same
+    cache key) can never see a torn zip, and two writers last-win whole
+    files instead of interleaving."""
+    import os as _os
+
+    import numpy as _np
+
+    # must end in .npz or np.savez appends the suffix and the replace
+    # source would not exist
+    tmp = f"{path}.{_os.getpid()}.tmp.npz"
+    try:
+        _np.savez(tmp, **kv)
+        _os.replace(tmp, path)
+    finally:
+        if _os.path.exists(tmp):
+            _os.unlink(tmp)
+
+
 def save_routed(path: str, M) -> None:
     import json as _json
 
@@ -476,7 +496,7 @@ def save_routed(path: str, M) -> None:
             M.unperm.pass_masks if M.unperm is not None else ()
         ):
             kv[f"unperm_mask{j}"] = _np.asarray(mk)
-        _np.savez(path, **kv)
+        _savez_atomic(path, **kv)
         return
     if isinstance(M, RoutedMat):
         kv.update(
@@ -495,7 +515,7 @@ def save_routed(path: str, M) -> None:
             kv[f"kinds{s}"] = _np.array(M.kinds[s])
             kv[f"dists{s}"] = _np.asarray(M.dists[s])
             kv[f"chunks{s}"] = _np.asarray(M.chunks[s])
-    _np.savez(path, **kv)
+    _savez_atomic(path, **kv)
 
 
 def load_routed(path: str):
