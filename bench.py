@@ -152,11 +152,9 @@ def main():
 
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache")
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    from lilac_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
 
     # device init is its own phase: when the axon tunnel is unreachable,
     # jax.devices() blocks indefinitely (observed: 5h outage 2026-08-17)

@@ -72,6 +72,11 @@ def main(argv=None):
     pt.add_argument("--holdout", type=float, default=0.25)
 
     args = p.parse_args(argv)
+    # remote TPU compiles run minutes cold; every subcommand gets the
+    # persistent cache so a timed-out probe never re-pays its compile
+    from lilac_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
     if args.cmd == "config":
         from lilac_tpu.config import cfg
 

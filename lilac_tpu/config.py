@@ -83,7 +83,33 @@ KNOBS = (
          "bench.py operator (factored = V/VT routed factorization)."),
     Knob("bench_class", "LILAC_BENCH_CLASS", str, None,
          "Force one NPB class in bench.py instead of the budget ladder."),
+    Knob("compile_cache_dir", "LILAC_COMPILE_CACHE", str, "auto",
+         "JAX persistent compilation cache directory; 'auto' = "
+         "<repo>/.jax_cache, '' / '0' disables. Remote TPU compiles run "
+         "minutes cold, so every CLI/workload entry point enables this "
+         "via enable_compile_cache() — losing a compile to a timeout "
+         "must not mean recompiling next run."),
 )
+
+
+def enable_compile_cache() -> Optional[str]:
+    """Point JAX's persistent compilation cache at cfg().compile_cache_dir.
+
+    Idempotent and safe to call any time before (or after) backend init.
+    Returns the directory used, or None when disabled."""
+    c = cfg().compile_cache_dir
+    if c in ("", "0", "false", "off", None):
+        return None
+    if c == "auto":
+        c = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+        )
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", c)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return c
 
 
 @dataclasses.dataclass
@@ -100,6 +126,7 @@ class Config:
     bench_dtype: str
     bench_kernel: str
     bench_class: Optional[str]
+    compile_cache_dir: Optional[str]
 
     @staticmethod
     def from_env() -> "Config":

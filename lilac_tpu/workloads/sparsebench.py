@@ -373,9 +373,11 @@ def benchmark(size: int, *, maxit=100, rtol=1e-6, dtype="df64", seed=0,
     un-permute."""
     import jax
 
+    from lilac_tpu.config import enable_compile_cache
     from lilac_tpu.solvers.algebra import get_algebra
     from lilac_tpu.solvers.bicg import bicg_solve
 
+    enable_compile_cache()
     plan, plan_t, n = build_bench_plans(
         size, dtype=dtype, seed=seed, kernel=kernel,
         sigma_relabel=sigma_relabel,
