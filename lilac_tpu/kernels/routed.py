@@ -29,6 +29,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Mosaic's default scoped-VMEM guard is 16 MB — below what forced hier
+# configs legitimately use (g=3 at bl=2^16 df64 streams ~18 MB of
+# double-buffered blocks; observed compile failure 2026-08-19:
+# 'exceeded scoped vmem limit by 268.0K'). Every routed pallas_call
+# raises its own limit; v5e VMEM is 128 MB, so 100 MB leaves headroom
+# for XLA's own scratch.
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
 def _stage_partner(y, kind: str, d: int, R: int, rowid, laneid):
     """partner values for one stage on a [R, 128] plane."""
     if kind == "xor":
@@ -148,6 +157,9 @@ def routed_apply(
             pltpu.VMEM((2, R, 128), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
         interpret=interpret,
     )(*x_planes, masks)
     return out if isinstance(out, tuple) else (out,)
@@ -252,6 +264,9 @@ def routed_apply_sliced(
             pltpu.VMEM((2, R, 128), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
         interpret=interpret,
     )(*x_planes, masks)
     return out if isinstance(out, tuple) else (out,)
@@ -346,6 +361,9 @@ def butterfly_apply(
             pl.BlockSpec((G * R, 128), lambda gid: (gid, 0), memory_space=pltpu.VMEM)
             for _ in range(nplanes)
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
         interpret=interpret,
     )(*[p for p in x_planes for _ in range(G)], masks)
     out = out if isinstance(out, tuple) else (out,)
@@ -431,6 +449,9 @@ def window_shift_apply(
             pl.BlockSpec((R, 128), lambda b: (b, 0), memory_space=pltpu.VMEM)
             for _ in range(nplanes)
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
         interpret=interpret,
     )(*x_planes, *x_planes, masks)
     return out if isinstance(out, tuple) else (out,)
@@ -498,6 +519,9 @@ def bigshift_apply(
         out_specs=tuple(
             pl.BlockSpec((R, 128), lambda b: (b, 0), memory_space=pltpu.VMEM)
             for _ in range(nplanes)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
     )(*x_planes, *x_planes, masks)
