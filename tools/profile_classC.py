@@ -49,10 +49,12 @@ def slope_time(fn, x, reps_lo=4, reps_hi=16):
 def main():
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
-    )
+    from lilac_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
+    # min_compile_time/min_entry_size zeros matter here: each chained-rep
+    # probe is its own program, and the round-1 session lost its window
+    # re-compiling probes that a prior run had already built
     t0 = time.time()
     print(f"device: {jax.devices()[0]}  (init {time.time()-t0:.1f}s)",
           flush=True)
