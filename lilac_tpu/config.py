@@ -85,7 +85,8 @@ KNOBS = (
          "Force one NPB class in bench.py instead of the budget ladder."),
     Knob("compile_cache_dir", "LILAC_COMPILE_CACHE", str, "auto",
          "JAX persistent compilation cache directory; 'auto' = "
-         "<repo>/.jax_cache, '' / '0' disables. Remote TPU compiles run "
+         "<repo>/.jax_cache; '', '0', 'false' or 'off' (any case) "
+         "disables. Remote TPU compiles run "
          "minutes cold, so every CLI/workload entry point enables this "
          "via enable_compile_cache() — losing a compile to a timeout "
          "must not mean recompiling next run."),
@@ -98,7 +99,7 @@ def enable_compile_cache() -> Optional[str]:
     Idempotent and safe to call any time before (or after) backend init.
     Returns the directory used, or None when disabled."""
     c = cfg().compile_cache_dir
-    if c in ("", "0", "false", "off", None):
+    if c.lower() in ("", "0", "false", "off"):
         return None
     if c == "auto":
         c = os.path.abspath(

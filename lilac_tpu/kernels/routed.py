@@ -552,6 +552,61 @@ def hier_gmax(bl: int, nplanes: int, budget: int = 14_000_000) -> int:
     return g
 
 
+def pass_vmem_bytes(p, bl: int, nplanes: int) -> int:
+    """Scoped-VMEM footprint of one compiled hier pass descriptor.
+
+    Mirrors each applier's BlockSpecs with the measured Mosaic rule that
+    every BlockSpec is double-buffered (2x); esize is 4 (f32 planes).
+    Used by check_vmem_feasible at plan-build/load time so an infeasible
+    bl/gmax config fails on the host in milliseconds instead of as an
+    on-chip Mosaic 'exceeded scoped vmem limit' after a minutes-long
+    remote compile (the round-2 sb160 failure mode)."""
+    kind = p[0]
+    if kind == "inner":
+        # routed_apply_sliced: nplanes in + nplanes out blocks + 2-slot
+        # int8 mask scratch (manual DMA)
+        return nplanes * bl * 4 * 2 * 2 + 2 * bl
+    if kind == "butterfly":
+        G = 1 << len(p[1])
+        # butterfly_apply: G in + G out blocks per plane + G*R mask block
+        return G * bl * (4 * 2 * nplanes + 1) * 2
+    if kind == "window":
+        # window_shift_apply: (left, self) in + out per plane + 2R mask
+        return nplanes * bl * 4 * 3 * 2 + 2 * bl * 2
+    if kind == "bigshift":
+        # bigshift_apply: (src, self) in + out per plane + R mask
+        return nplanes * bl * 4 * 3 * 2 + bl * 2
+    raise ValueError(f"unknown pass kind {kind!r}")
+
+
+def table_vmem_bytes(m: int, nplanes: int) -> int:
+    """Scoped-VMEM footprint of the single-table routed kernel at table
+    size m (routed_apply: whole-table in + out per plane, 2-slot mask
+    scratch; double-buffered)."""
+    return nplanes * m * 4 * 2 * 2 + 2 * m
+
+
+def check_vmem_feasible(passes_or_m, bl: int, nplanes: int, *, what: str = "") -> None:
+    """Raise at plan-build time when any pass exceeds the pallas_call
+    scoped-VMEM limit this module sets (_VMEM_LIMIT_BYTES). passes_or_m:
+    a compile_hier pass tuple, or an int m for a single-table plan."""
+    if isinstance(passes_or_m, int):
+        worst = ("table", table_vmem_bytes(passes_or_m, nplanes))
+    else:
+        worst = max(
+            ((p[0], pass_vmem_bytes(p, bl, nplanes)) for p in passes_or_m),
+            key=lambda t: t[1],
+            default=("none", 0),
+        )
+    if worst[1] > _VMEM_LIMIT_BYTES:
+        raise ValueError(
+            f"routed plan {what or 'config'} is VMEM-infeasible: pass "
+            f"'{worst[0]}' needs {worst[1] / 2**20:.1f} MB scoped VMEM > "
+            f"{_VMEM_LIMIT_BYTES / 2**20:.0f} MB limit (v5e VMEM 128 MB). "
+            "Lower LILAC_HIER_BL or LILAC_HIER_GMAX."
+        )
+
+
 def compile_hier(kinds, dists, masks_host, bl: int, *, gmax: int = 2):
     """Split one network's stage schedule into hierarchical passes.
 

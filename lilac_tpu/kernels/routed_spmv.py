@@ -106,6 +106,9 @@ def build_routed_csr(
     if m is None:
         m = max(1024, _pow2_at_least(max(ncol, kmax)))
     assert m >= ncol and m >= kmax and m % 1024 == 0
+    rd.check_vmem_feasible(
+        m, m, 2 if dtype == "df64" else 1, what=f"single-table m={m}"
+    )
 
     if sort_rows == "auto":
         sort_rows = bool(kmax > 1.25 * max(counts.mean(), 1.0) + 2)
@@ -288,6 +291,9 @@ def build_routed_csr_seg(
     """Stage a host CSR as column-segmented routing networks."""
     n, ncol = shape
     m = seg_size
+    rd.check_vmem_feasible(
+        m, m, 2 if dtype == "df64" else 1, what=f"seg-table m={m}"
+    )
     nseg = -(-ncol // seg_size)
     counts = np.diff(indptr).astype(np.int64)
     order = np.argsort(-counts, kind="stable")
@@ -452,13 +458,24 @@ def _savez_atomic(path: str, **kv) -> None:
     (e.g. a chip session loading while a host prebuild writes the same
     cache key) can never see a torn zip, and two writers last-win whole
     files instead of interleaving."""
+    import glob as _glob
     import os as _os
 
     import numpy as _np
 
-    # must end in .npz or np.savez appends the suffix and the replace
-    # source would not exist
-    tmp = f"{path}.{_os.getpid()}.tmp.npz"
+    # Dot-prefix the temp name so plan-cache globs (data/plan_**.npz,
+    # data/routed2_*) can never match an in-progress write, and a writer
+    # killed mid-savez (SIGKILL skips the finally) leaves only a hidden
+    # stale file; sweep any stale temps for this path from earlier kills.
+    # Must end in .npz or np.savez appends the suffix and the replace
+    # source would not exist.
+    d, base = _os.path.split(path)
+    for old in _glob.glob(_os.path.join(d, f".tmp_*_{base}")):
+        try:
+            _os.unlink(old)
+        except OSError:
+            pass
+    tmp = _os.path.join(d, f".tmp_{_os.getpid()}_{base}")
     try:
         _np.savez(tmp, **kv)
         _os.replace(tmp, path)
@@ -556,6 +573,14 @@ def load_routed(path: str):
                     jnp.asarray(z[f"unperm_mask{j}"]) for j in range(nup)
                 ),
                 pass_meta=detuple(meta["unperm_meta"]),
+            )
+        # caches written by older configs may encode passes the current
+        # kernels cannot fit in scoped VMEM — reject at load, not on chip
+        nplanes = 2 if vals and vals[0].ndim == 2 else 1
+        for net in nets[:1] + ([unperm] if unperm is not None else []):
+            rd.check_vmem_feasible(
+                net.pass_meta, int(meta["bl"]), nplanes,
+                what=f"cached hier plan {path}",
             )
         return RoutedMatHier(
             nets=tuple(nets), vals=tuple(vals), unperm=unperm,
@@ -682,6 +707,14 @@ def build_routed_csr_hier(
     if m is None:
         m = max(2 * bl, _pow2_at_least(max(ncol, kmax)))
     assert m >= ncol and m % bl == 0
+    # fail fast on a VMEM-infeasible bl/gmax BEFORE the expensive network
+    # build (and long before a chip window burns on a Mosaic compile error)
+    nplanes = 2 if dtype == "df64" else 1
+    g0max = _hier_gmax_cfg(bl, dtype)
+    rd.check_vmem_feasible(
+        (("butterfly", tuple(range(g0max))), ("window", ()), ("inner", (), ())),
+        bl, nplanes, what=f"hier bl={bl} gmax={g0max}",
+    )
 
     order = np.argsort(-counts, kind="stable")
     sorted_counts = counts[order]

@@ -374,3 +374,36 @@ def test_hier_builder_gmax_env_override(rng, monkeypatch):
     assert rs._hier_gmax_cfg(1 << 16, "df64") == 1
     monkeypatch.delenv("LILAC_HIER_GMAX")
     assert rs._hier_gmax_cfg(1 << 16, "df64") == 2  # VMEM-derived default
+
+
+def test_vmem_feasibility_check():
+    """Plan-time scoped-VMEM gate (round-2 verdict weak #5): infeasible
+    bl/gmax configs must fail on the host at build time, feasible ones
+    (incl. the shipped NPB/sb160 configs) must pass."""
+    # shipped configs: hier bl=2^16 g=3 df64 (~18 MB) and g=2 are feasible
+    rd.check_vmem_feasible((("butterfly", (0, 1, 2)),), 1 << 16, 2)
+    rd.check_vmem_feasible((("butterfly", (0, 1)), ("window", ()),
+                            ("inner", (), ())), 1 << 16, 2)
+    # single-table at the 2^18 cap is feasible
+    rd.check_vmem_feasible(1 << 18, 1 << 18, 2)
+    # bl=2^19 g=3 df64 = 8*bl*34 = 142 MB > the 100 MB pallas limit
+    with pytest.raises(ValueError, match="VMEM-infeasible"):
+        rd.check_vmem_feasible((("butterfly", (0, 1, 2)),), 1 << 19, 2)
+    # a giant single table fails too
+    with pytest.raises(ValueError, match="VMEM-infeasible"):
+        rd.check_vmem_feasible(1 << 23, 1 << 23, 2)
+    # and the hier builder rejects before the expensive network build
+    from lilac_tpu.kernels.routed_spmv import build_routed_csr_hier
+
+    indptr = np.arange(5, dtype=np.int64) * 2
+    indices = np.arange(8, dtype=np.int64) % 4
+    data = np.ones(8)
+    with pytest.raises(ValueError, match="VMEM-infeasible"):
+        import os
+        os.environ["LILAC_HIER_GMAX"] = "3"
+        try:
+            build_routed_csr_hier(
+                indptr, indices, data, (4, 4), dtype="df64", bl=1 << 19
+            )
+        finally:
+            del os.environ["LILAC_HIER_GMAX"]
