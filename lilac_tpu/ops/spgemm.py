@@ -141,16 +141,31 @@ def _esc_chunk_impl(va, ca, cnt_a, vb, cb, cnt_b, n_sentinel):
     return rk, ck, sums, first
 
 
-_esc_jit = None
+_esc_all_jit = {}
 
 
-def _esc_chunk(*args, n_sentinel):
-    global _esc_jit
-    if _esc_jit is None:
+def _esc_all(va, ca, cnt_a, vb, cb, cnt_b, n_sentinel):
+    """All row-chunks of ESC in ONE device program: lax.map over the
+    [nc, R, ...] chunk axis (compiles one chunk body, scans it), so the
+    whole product is a single dispatch with a single result fetch —
+    round 2's per-chunk np.asarray round-trips serialized device work
+    and made the 'device path' lose to host numpy at every size."""
+    global _esc_all_jit
+    fn = _esc_all_jit.get(n_sentinel)
+    if fn is None:
+        import functools
+
         import jax
 
-        _esc_jit = jax.jit(_esc_chunk_impl, static_argnames=("n_sentinel",))
-    return _esc_jit(*args, n_sentinel=n_sentinel)
+        body = functools.partial(_esc_chunk_impl, n_sentinel=n_sentinel)
+        fn = jax.jit(
+            lambda va, ca, cnt_a, vb, cb, cnt_b: jax.lax.map(
+                lambda t: body(t[0], t[1], t[2], vb, cb, cnt_b),
+                (va, ca, cnt_a),
+            )
+        )
+        _esc_all_jit[n_sentinel] = fn
+    return fn(va, ca, cnt_a, vb, cb, cnt_b)
 
 
 def esc_spgemm(a_csr, b_csr, shape_a, shape_b, *, row_chunk: int = 16384,
@@ -160,8 +175,11 @@ def esc_spgemm(a_csr, b_csr, shape_a, shape_b, *, row_chunk: int = 16384,
     Rows of C depend only on the matching rows of A, so chunking A's rows
     is exact; each chunk expands to a static [chunk, Ka, Kb] product
     tensor, lexicographically sorts (row, col) keys on device, and
-    segment-sums duplicates. Expansion memory per chunk =
-    chunk·Ka·Kb·(4+4+itemsize) bytes — pick row_chunk accordingly."""
+    segment-sums duplicates. All chunks run inside one jitted lax.map
+    (device-resident operands, one dispatch, one fetch); the host does
+    only the final boolean compaction. Expansion memory per chunk =
+    chunk·Ka·Kb·(4+4+itemsize) bytes, and the stacked result fetch is
+    ~13 bytes per partial product — pick row_chunk accordingly."""
     import jax.numpy as jnp
 
     from lilac_tpu.formats.convert import coo_to_csr_arrays, csr_to_ell_arrays
@@ -179,33 +197,37 @@ def esc_spgemm(a_csr, b_csr, shape_a, shape_b, *, row_chunk: int = 16384,
     # pad cnt arrays to the ELL row padding
     cnt_a_full = np.pad(cnt_a_full, (0, va.shape[0] - n))
     cnt_b = np.pad(cnt_b, (0, vb.shape[0] - shape_b[0]))
-    vb_d, cb_d, cnt_b_d = jnp.asarray(vb), jnp.asarray(cb_cols), jnp.asarray(cnt_b)
 
-    rows_out, cols_out, vals_out = [], [], []
-    R = min(row_chunk, va.shape[0])
-    for i0 in range(0, n, R):
-        sl = slice(i0, i0 + R)
-        va_c = np.zeros((R,) + va.shape[1:], va.dtype)
-        ca_c = np.zeros((R,) + ca_cols.shape[1:], ca_cols.dtype)
-        cnt_c = np.zeros(R, np.int32)
-        r = min(R, va.shape[0] - i0)
-        va_c[:r], ca_c[:r], cnt_c[:r] = va[sl], ca_cols[sl], cnt_a_full[sl]
-        rk, ck, sums, first = _esc_chunk(
-            jnp.asarray(va_c), jnp.asarray(ca_c), jnp.asarray(cnt_c),
-            vb_d, cb_d, cnt_b_d, n_sentinel=R,
-        )
-        rk, ck = np.asarray(rk), np.asarray(ck)
-        sums, first = np.asarray(sums), np.asarray(first)
-        keep = first & (rk < R)
-        nuniq = int(keep.sum())
-        rows_out.append(rk[keep].astype(np.int64) + i0)
-        cols_out.append(ck[keep].astype(np.int64))
-        # valid groups sort before the sentinel group: their segment sums
-        # are exactly the first nuniq entries
-        vals_out.append(sums[:nuniq].astype(np.float64))
-    rows_all = np.concatenate(rows_out) if rows_out else np.empty(0, np.int64)
-    cols_all = np.concatenate(cols_out) if cols_out else np.empty(0, np.int64)
-    vals_all = np.concatenate(vals_out) if vals_out else np.empty(0)
+    # pad A's rows to a whole number of chunks and stack [nc, R, ...]
+    R = min(row_chunk, max(va.shape[0], 1))
+    nc = -(-max(n, 1) // R)
+    pad = nc * R - va.shape[0]
+    if pad > 0:
+        va = np.pad(va, ((0, pad), (0, 0)))
+        ca_cols = np.pad(ca_cols, ((0, pad), (0, 0)))
+        cnt_a_full = np.pad(cnt_a_full, (0, pad))
+    else:
+        va, ca_cols, cnt_a_full = va[: nc * R], ca_cols[: nc * R], cnt_a_full[: nc * R]
+    Ka = va.shape[1]
+    rk, ck, sums, first = _esc_all(
+        jnp.asarray(va.reshape(nc, R, Ka)),
+        jnp.asarray(ca_cols.reshape(nc, R, Ka)),
+        jnp.asarray(cnt_a_full.reshape(nc, R)),
+        jnp.asarray(vb), jnp.asarray(cb_cols), jnp.asarray(cnt_b),
+        R,
+    )
+    # one fetch for everything, then vectorized host compaction
+    rk = np.asarray(rk)  # [nc, R*Ka*Kb]
+    ck, sums, first = np.asarray(ck), np.asarray(sums), np.asarray(first)
+    keep = first & (rk < R)  # unique (row, col) groups, non-sentinel
+    nuniq = keep.sum(axis=1)  # per chunk
+    rows_all = (rk + (np.arange(nc, dtype=np.int64) * R)[:, None])[keep]
+    cols_all = ck[keep].astype(np.int64)
+    # valid groups sort before the sentinel group: each chunk's segment
+    # sums are exactly its first nuniq entries, in the same sorted order
+    # as the kept (row, col) keys
+    vals_mask = np.arange(rk.shape[1])[None, :] < nuniq[:, None]
+    vals_all = sums[vals_mask].astype(np.float64)
     ptr, idx, val = coo_to_csr_arrays(rows_all, cols_all, vals_all, (n, m))
     return ptr, idx, val, (n, m)
 

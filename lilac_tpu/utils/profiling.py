@@ -182,6 +182,94 @@ def spmv_traffic_bytes(plan) -> dict:
     )
 
 
+def routed_stage_work(plan) -> Optional[dict]:
+    """Stage-application work of a routed single-table/segmented plan, in
+    stage-elements (one switch decision on one slot of one value plane).
+
+    At bench sizes the routed kernels are not HBM-bound (measured 3% of
+    the 819 GB/s ceiling, round 2) — the binding resource is the VPU
+    stage pipeline + mask DMA. This quantifies the plan's total stage
+    work so achieved rates can be reported against the MEASURED stage
+    roofline (measure_stage_roofline) instead of only the HBM one
+    (round-2 verdict missing #6). Returns None for kernels where stage
+    work is not the model (hier plans are HBM-pass-bound; gather kernels
+    are gather-engine-bound)."""
+    from lilac_tpu.kernels.routed_spmv import RoutedMat, RoutedMatSeg
+
+    def one(A):
+        if isinstance(A, RoutedMat):
+            B = A.masks.shape[0]
+            npl = 2 if getattr(A.vals, "ndim", 2) == 3 else 1
+            return B * len(A.kinds) * A.m * npl
+        if isinstance(A, RoutedMatSeg):
+            npl = 2 if getattr(A.vals[0], "ndim", 2) == 3 else 1
+            return sum(
+                mk.shape[0] * len(kd) * A.m * npl
+                for mk, kd in zip(A.masks, A.kinds)
+            )
+        return None
+
+    A = plan.A
+    parts = []
+    if hasattr(A, "V") and hasattr(A, "VT"):  # factored operator
+        parts = [one(A.V), one(A.VT)]
+    else:
+        parts = [one(A)]
+    if any(p is None for p in parts):
+        return None
+    return dict(stage_elems=int(sum(parts)))
+
+
+def measure_stage_roofline(
+    m: int = 1 << 18, S: int = 64, nplanes: int = 1, reps: int = 30
+) -> dict:
+    """Measured peak routed-stage throughput (stage-elements/s): the same
+    pallas kernel the routed SpMV runs, at full occupancy on a synthetic
+    S-stage network over one VMEM-resident table — the speed-of-light
+    for the binding resource. Mask DMA (S/8 bit-packed planes) is part
+    of the measured rate by construction."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels.routed import routed_apply
+
+    R = m // 128
+    nb = max(int(np.log2(m)) - 1, 1)
+    kinds = tuple("xor" for _ in range(S))
+    dists = tuple(1 << (i % nb) for i in range(S))
+    rng = np.random.default_rng(0)
+    P = (S + 7) // 8
+    masks = jnp.asarray(
+        rng.integers(0, 256, size=(1, P, R, 128), dtype=np.uint8).view(np.int8)
+    )
+    planes = tuple(
+        jnp.asarray(rng.normal(size=(R, 128)).astype(np.float32))
+        for _ in range(nplanes)
+    )
+
+    @jax.jit
+    def chain(p):
+        def body(_, pp):
+            out = routed_apply(pp, masks, kinds, dists)
+            return tuple(o[0] for o in out)
+
+        return jax.lax.fori_loop(0, reps, body, p)
+
+    out = chain(planes)
+    _ = np.asarray(out[0][0, 0])  # fence (readback — see PhaseTimers)
+    t0 = _time.perf_counter()
+    out = chain(planes)
+    _ = np.asarray(out[0][0, 0])
+    t = (_time.perf_counter() - t0) / reps
+    rate = m * S * nplanes / t
+    return dict(
+        stage_elems_per_s=rate, m=m, S=S, nplanes=nplanes,
+        ns_per_stage_elem=1e9 / rate if rate else float("inf"),
+    )
+
+
 def roofline(bytes_moved: float, flops: float, time_s: float) -> dict:
     """Achieved vs ceiling rates for one measured region."""
     spec = chip_spec()

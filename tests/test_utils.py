@@ -126,3 +126,28 @@ def test_config_catalogue_and_env_overrides(monkeypatch):
     # legacy LILAC_CACHE alias feeds data_dir
     monkeypatch.setenv("LILAC_CACHE", "/tmp/xyz")
     assert cfg().resolved_data_dir() == "/tmp/xyz"
+
+
+def test_routed_stage_work_counts_stage_elems():
+    """Binding-resource accounting (r2 verdict missing #6): stage work =
+    chunks x stages x table x planes for single-table routed plans; None
+    for families where stage work is not the cost model."""
+    from lilac_tpu.generate.random_crs import random_crs
+    from lilac_tpu.plan import SpmvPlan
+    from lilac_tpu.utils.profiling import routed_stage_work
+
+    indptr, indices, data, shape = random_crs(12, seed=0)
+    routed = SpmvPlan(indptr, indices, data, shape, dtype="f32", kernel="routed")
+    w = routed_stage_work(routed)
+    A = routed.A
+    assert w["stage_elems"] == A.masks.shape[0] * len(A.kinds) * A.m
+
+    # df64 counts two value planes
+    r2 = SpmvPlan(indptr, indices, data, shape, dtype="df64", kernel="routed")
+    w2 = routed_stage_work(r2)
+    A2 = r2.A
+    assert w2["stage_elems"] == A2.masks.shape[0] * len(A2.kinds) * A2.m * 2
+
+    # gather kernels: not a stage-work model
+    ell = SpmvPlan(indptr, indices, data, shape, dtype="f32", kernel="xla_ell")
+    assert routed_stage_work(ell) is None
