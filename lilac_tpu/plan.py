@@ -183,7 +183,15 @@ class SpmvPlan:
 
         choice = autotune.predict(s["nrows"], s["nnz"], s["mean_row"], s["std_row"])
         if choice is not None:
-            return choice
+            # the shipped model is measured on-chip; routed labels are
+            # meaningless on CPU (interpret-mode pallas) — heuristic there
+            import jax as _jax
+
+            if not (
+                choice.startswith("routed")
+                and _jax.default_backend() == "cpu"
+            ):
+                return choice
         # plain ELL pads every row to max_row; bucket-sliced ELL caps the
         # waste when row lengths are spread (gathers are the cost on TPU)
         if spread:

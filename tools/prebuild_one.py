@@ -22,7 +22,7 @@ os.environ["LILAC_HIER_GMAX"] = "3"
 from lilac_tpu.workloads import sparsebench as sb  # noqa: E402
 
 t0 = time.time()
-plan, plan_t, n = sb.build_bench_plans(
+plan, plan_t, n, _csr = sb.build_bench_plans(
     160, dtype="df64", kernel="routed", sigma_relabel=True
 )
 print(

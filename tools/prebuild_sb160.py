@@ -27,7 +27,7 @@ for bl in (1 << 16, 1 << 15):
     os.environ["LILAC_HIER_BL"] = str(bl)
     os.environ["LILAC_HIER_GMAX"] = "3"
     t0 = time.time()
-    plan, plan_t, n = sb.build_bench_plans(
+    plan, plan_t, n, _csr = sb.build_bench_plans(
         SIZE, dtype="df64", kernel="routed", sigma_relabel=True
     )
     print(
