@@ -61,6 +61,11 @@ KNOBS = (
          "from the VMEM budget). Each butterfly pass costs ~1 mask byte "
          "per slot regardless of its stage count, so larger g = fewer "
          "passes = smaller plans and fewer HBM streams."),
+    Knob("hier_pack", "LILAC_HIER_PACK", bool, True,
+         "Pack hierarchical routed nets that share a pass schedule into "
+         "net-batched pallas grids (one call per pass for the whole "
+         "group). Collapses the traced op count ~30x at class-D scale — "
+         "set 0 only to fall back to the per-net appliers."),
     Knob("steps_per_dispatch", "LILAC_STEPS_PER_DISPATCH", Optional[int], None,
          "NPB CG outer iterations fused per device dispatch (None = "
          "class-dependent auto: whole loop for small classes, chunks for "
@@ -119,6 +124,7 @@ class Config:
     net_mode: str
     hier_bl: int
     hier_gmax: Optional[int]
+    hier_pack: bool
     steps_per_dispatch: Optional[int]
     factored_segmode: str
     seg_quantile: float

@@ -134,11 +134,14 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
             # and nnz_eff, so the (minutes at class D/E) makea triple
             # regeneration is skipped entirely
             try:
+                from lilac_tpu.kernels.routed_spmv import maybe_pack_hier
+
                 V, VT = load_routed(paths[0]), load_routed(paths[1])
                 z = np.load(meta_path, allow_pickle=False)
                 if V is not None and VT is not None:
                     cont = FactoredNPB(
-                        V=V, VT=VT, s=to_dev(z["s"]),
+                        V=maybe_pack_hier(V), VT=maybe_pack_hier(VT),
+                        s=to_dev(z["s"]),
                         d0=to_dev(np.asarray(cls.rcond - cls.shift)),
                     )
                     return cont, int(z["nnz_eff"])
@@ -205,6 +208,9 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
                 )
             save_routed(paths[0], V)
             save_routed(paths[1], VT)
+        from lilac_tpu.kernels.routed_spmv import maybe_pack_hier
+
+        V, VT = maybe_pack_hier(V), maybe_pack_hier(VT)
     elif use_scan:
         V = csr_to_seg_ell_scan(
             v_ip, v_ix, to_vals(v_v), (n, n), seg_size=SEG_SIZE, seg_quantile=squant
@@ -241,6 +247,7 @@ def _spmv_any(A, x):
     from lilac_tpu.kernels.routed_spmv import (
         RoutedMat,
         RoutedMatHier,
+        RoutedMatHierP,
         RoutedMatSeg,
         routed_hier_spmv,
         routed_seg_spmv,
@@ -250,7 +257,7 @@ def _spmv_any(A, x):
 
     if isinstance(A, RoutedMat):
         return routed_spmv(A, x)
-    if isinstance(A, RoutedMatHier):
+    if isinstance(A, (RoutedMatHier, RoutedMatHierP)):
         return routed_hier_spmv(A, x)
     if isinstance(A, RoutedMatSeg):
         return routed_seg_spmv(A, x)
@@ -263,6 +270,7 @@ def _spmv_any_df(A, x):
     from lilac_tpu.kernels.routed_spmv import (
         RoutedMat,
         RoutedMatHier,
+        RoutedMatHierP,
         RoutedMatSeg,
         routed_hier_spmv_df,
         routed_seg_spmv_df,
@@ -272,7 +280,7 @@ def _spmv_any_df(A, x):
 
     if isinstance(A, RoutedMat):
         return routed_spmv_df(A, x)
-    if isinstance(A, RoutedMatHier):
+    if isinstance(A, (RoutedMatHier, RoutedMatHierP)):
         return routed_hier_spmv_df(A, x)
     if isinstance(A, RoutedMatSeg):
         return routed_seg_spmv_df(A, x)

@@ -723,6 +723,470 @@ def compile_hier(kinds, dists, masks_host, bl: int, *, gmax: int = 2):
     return tuple(passes)
 
 
+# ---------------------------------------------------------------------------
+# net-batched hierarchical application
+#
+# A hierarchical SpMV applies MANY networks (33 at NPB class D) that share
+# one canonical pass schedule (build_gather_network keeps drop_empty=False
+# for exactly this reason) to the SAME input planes — only the mask VALUES
+# differ per net. Tracing them as per-net pallas_calls put ~500 ops in one
+# XLA graph per matvec: a 45-minute remote compile and ~µs-scale dispatch
+# overhead 500x per matvec (round-3 class-D capture: 1086 s vs round-1's
+# 98 s). The batched appliers below stack the masks on a leading net axis
+# and add a net grid dimension, collapsing each pass over all nets into
+# ONE pallas_call (~15 ops per matvec). Per-grid-step VMEM footprint is
+# unchanged, so pass_vmem_bytes stays the feasibility model.
+# ---------------------------------------------------------------------------
+
+
+def _routed_kernel_b(kinds, dists, R, nplanes, *refs):
+    """Net-batched inner-pass kernel: grid (nblocks, N); masks_hbm is
+    [N, nblocks, P, R, 128]; per-net out (and optionally in) blocks carry
+    a leading 1-dim."""
+    x_refs = refs[:nplanes]
+    masks_hbm = refs[nplanes]
+    out_refs = refs[nplanes + 1 : nplanes + 1 + nplanes]
+    scratch = refs[-2]
+    sems = refs[-1]
+    S = len(kinds)
+    P = (S + 7) // 8
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    laneid = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+
+    def mask_dma(slot, p):
+        return pltpu.make_async_copy(
+            masks_hbm.at[n, b, p], scratch.at[slot], sems.at[slot]
+        )
+
+    planes = [r[:].reshape(R, 128) for r in x_refs]
+    if S:
+        mask_dma(0, 0).start()
+    plane_bits = None
+    for s in range(S):
+        p, bit = divmod(s, 8)
+        if bit == 0:
+            if p + 1 < P:
+                mask_dma((p + 1) % 2, p + 1).start()
+            mask_dma(p % 2, p).wait()
+            plane_bits = scratch[p % 2].astype(jnp.int32)
+        mask = ((plane_bits >> bit) & 1) != 0
+        kind, d = kinds[s], dists[s]
+        planes = [
+            jnp.where(mask, _stage_partner(y, kind, d, R, rowid, laneid), y)
+            for y in planes
+        ]
+    for o, y in zip(out_refs, planes):
+        o[0] = y
+
+
+def _in_specs_b(nplanes, R, shared, idx2, idx3):
+    """Per-plane input BlockSpecs: shared [mrows,128] planes read block
+    idx2(b) for every net; per-net [N,mrows,128] planes read (n, idx2(b))."""
+    if shared:
+        return [
+            pl.BlockSpec((R, 128), lambda b, n: idx2(b), memory_space=pltpu.VMEM)
+            for _ in range(nplanes)
+        ]
+    return [
+        pl.BlockSpec((1, R, 128), lambda b, n: idx3(b, n), memory_space=pltpu.VMEM)
+        for _ in range(nplanes)
+    ]
+
+
+def routed_apply_sliced_b(
+    x_planes: Sequence[jax.Array],
+    masks: jax.Array,
+    kinds: Tuple[str, ...],
+    dists: Tuple[int, ...],
+    *,
+    layout: Tuple[int, ...] | None = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Net-batched inner pass. masks [N, nblocks, P, R, 128]; x_planes
+    each [mrows, 128] (shared input) or [N, mrows, 128] (per-net).
+    Returns per-net [N, mrows, 128] planes in natural block order."""
+    N, nblocks, P, R, _ = masks.shape
+    S = len(kinds)
+    assert P == (S + 7) // 8 and S == len(dists)
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    if layout is None:
+        layout = _identity_bitmap(int(np.log2(nblocks)))
+    nplanes = len(x_planes)
+    shared = x_planes[0].ndim == 2
+    dtype = x_planes[0].dtype
+    mrows = x_planes[0].shape[-2]
+
+    kern = functools.partial(
+        _routed_kernel_b, tuple(kinds), tuple(dists), R, nplanes
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(nblocks, N),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((N, mrows, 128), dtype) for _ in range(nplanes)
+        ),
+        in_specs=_in_specs_b(
+            nplanes, R, shared,
+            lambda b: (_phys_expr(b, layout), 0),
+            lambda b, n: (n, _phys_expr(b, layout), 0),
+        )
+        + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tuple(
+            pl.BlockSpec(
+                (1, R, 128), lambda b, n: (n, b, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(nplanes)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, 128), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(*x_planes, masks)
+    return out if isinstance(out, tuple) else (out,)
+
+
+def butterfly_apply_b(
+    x_planes: Sequence[jax.Array],
+    masks: jax.Array,
+    block_bits: Tuple[int, ...],
+    bl: int,
+    *,
+    layout: Tuple[int, ...] | None = None,
+    interpret: bool = False,
+):
+    """Net-batched butterfly pass. masks [N, ngroups, G*R, 128]; planes
+    shared [mrows, 128] or per-net [N, mrows, 128]. Returns
+    (per-net planes [N, mrows, 128] group-major, new_layout)."""
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    g = len(block_bits)
+    G = 1 << g
+    nplanes = len(x_planes)
+    R = bl // 128
+    shared = x_planes[0].ndim == 2
+    mrows = x_planes[0].shape[-2]
+    nblocks = mrows // R
+    nbits = int(np.log2(nblocks))
+    ngroups = nblocks // G
+    N = masks.shape[0]
+    dtype = x_planes[0].dtype
+    if layout is None:
+        layout = _identity_bitmap(nbits)
+
+    rest = [b for b in range(nbits) if b not in block_bits]
+
+    def logical_bid_expr(gid, s):
+        bid = 0
+        for i, b in enumerate(rest):
+            bid = bid + ((gid // (1 << i)) % 2) * (1 << b)
+        for k, b in enumerate(block_bits):
+            bid = bid + ((s >> k) & 1) * (1 << b)
+        return bid
+
+    new_layout = tuple(block_bits) + tuple(rest)
+
+    def kern(*refs):
+        xs = refs[: nplanes * G]
+        mref = refs[nplanes * G]
+        outs = refs[nplanes * G + 1 :]
+        cur = [
+            [xs[p * G + s][:].reshape(R, 128) for s in range(G)]
+            for p in range(nplanes)
+        ]
+        mbits = mref[0, 0].astype(jnp.int32)
+        for k in range(g):
+            new = [[None] * G for _ in range(nplanes)]
+            for s in range(G):
+                partner = s ^ (1 << k)
+                msk = ((mbits[s * R : (s + 1) * R, :] >> k) & 1) != 0
+                for p in range(nplanes):
+                    new[p][s] = jnp.where(msk, cur[p][partner], cur[p][s])
+            cur = new
+        for p in range(nplanes):
+            for s in range(G):
+                outs[p][0, s * R : (s + 1) * R, :] = cur[p][s]
+
+    in_specs = []
+    for _ in range(nplanes):
+        for s in range(G):
+            if shared:
+                in_specs.append(
+                    pl.BlockSpec(
+                        (R, 128),
+                        (lambda gid, n, s=s: (
+                            _phys_expr(logical_bid_expr(gid, s), layout), 0)),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
+            else:
+                in_specs.append(
+                    pl.BlockSpec(
+                        (1, R, 128),
+                        (lambda gid, n, s=s: (
+                            n, _phys_expr(logical_bid_expr(gid, s), layout), 0)),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
+    in_specs.append(
+        pl.BlockSpec(
+            (1, 1, G * R, 128), lambda gid, n: (n, gid, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(ngroups, N),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((N, mrows, 128), dtype) for _ in range(nplanes)
+        ),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec(
+                (1, G * R, 128), lambda gid, n: (n, gid, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(nplanes)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(*[p for p in x_planes for _ in range(G)], masks)
+    out = out if isinstance(out, tuple) else (out,)
+    return out, new_layout
+
+
+def window_shift_apply_b(
+    x_planes: Sequence[jax.Array],
+    masks: jax.Array,
+    dists: Tuple[int, ...],
+    bl: int,
+    *,
+    layout: Tuple[int, ...] | None = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Net-batched window pass. masks [N, nblocks, 2R, 128]."""
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    S = len(dists)
+    nplanes = len(x_planes)
+    R = bl // 128
+    shared = x_planes[0].ndim == 2
+    mrows = x_planes[0].shape[-2]
+    nblocks = mrows // R
+    N = masks.shape[0]
+    dtype = x_planes[0].dtype
+    assert sum(dists) < bl and S <= 8
+    if layout is None:
+        layout = _identity_bitmap(int(np.log2(nblocks)))
+
+    def kern(*refs):
+        lefts = refs[:nplanes]
+        selves = refs[nplanes : 2 * nplanes]
+        mref = refs[2 * nplanes]
+        outs = refs[2 * nplanes + 1 :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (2 * R, 128), 1)
+        mbits = mref[0, 0].astype(jnp.int32)
+        for p in range(nplanes):
+            y = jnp.concatenate(
+                [lefts[p][:].reshape(R, 128), selves[p][:].reshape(R, 128)],
+                axis=0,
+            )
+            for s, d in enumerate(dists):
+                msk = ((mbits >> s) & 1) != 0
+                if d >= 128:
+                    shifted = pltpu.roll(y, d // 128, 0)
+                else:
+                    a = pltpu.roll(y, d, 1)
+                    bwrap = pltpu.roll(a, 1, 0)
+                    shifted = jnp.where(lane >= d, a, bwrap)
+                y = jnp.where(msk, shifted, y)
+            outs[p][0] = y[R:]
+
+    in_specs = (
+        _in_specs_b(
+            nplanes, R, shared,
+            lambda b: (_phys_expr((b + nblocks - 1) % nblocks, layout), 0),
+            lambda b, n: (n, _phys_expr((b + nblocks - 1) % nblocks, layout), 0),
+        )
+        + _in_specs_b(
+            nplanes, R, shared,
+            lambda b: (_phys_expr(b, layout), 0),
+            lambda b, n: (n, _phys_expr(b, layout), 0),
+        )
+        + [
+            pl.BlockSpec(
+                (1, 1, 2 * R, 128), lambda b, n: (n, b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(nblocks, N),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((N, mrows, 128), dtype) for _ in range(nplanes)
+        ),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec(
+                (1, R, 128), lambda b, n: (n, b, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(nplanes)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(*x_planes, *x_planes, masks)
+    return out if isinstance(out, tuple) else (out,)
+
+
+def bigshift_apply_b(
+    x_planes: Sequence[jax.Array],
+    masks: jax.Array,
+    d: int,
+    bl: int,
+    *,
+    layout: Tuple[int, ...] | None = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Net-batched block-aligned long shift. masks [N, nblocks, R, 128]."""
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    nplanes = len(x_planes)
+    R = bl // 128
+    shared = x_planes[0].ndim == 2
+    mrows = x_planes[0].shape[-2]
+    nblocks = mrows // R
+    N = masks.shape[0]
+    dtype = x_planes[0].dtype
+    db = (d // bl) % nblocks
+    if layout is None:
+        layout = _identity_bitmap(int(np.log2(nblocks)))
+
+    def kern(*refs):
+        srcs = refs[:nplanes]
+        selves = refs[nplanes : 2 * nplanes]
+        mref = refs[2 * nplanes]
+        outs = refs[2 * nplanes + 1 :]
+        msk = mref[0, 0] != 0
+        for p in range(nplanes):
+            outs[p][0] = jnp.where(
+                msk, srcs[p][:].reshape(R, 128), selves[p][:].reshape(R, 128)
+            )
+
+    in_specs = (
+        _in_specs_b(
+            nplanes, R, shared,
+            lambda b: (_phys_expr((b + nblocks - db) % nblocks, layout), 0),
+            lambda b, n: (n, _phys_expr((b + nblocks - db) % nblocks, layout), 0),
+        )
+        + _in_specs_b(
+            nplanes, R, shared,
+            lambda b: (_phys_expr(b, layout), 0),
+            lambda b, n: (n, _phys_expr(b, layout), 0),
+        )
+        + [
+            pl.BlockSpec(
+                (1, 1, R, 128), lambda b, n: (n, b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(nblocks, N),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((N, mrows, 128), dtype) for _ in range(nplanes)
+        ),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec(
+                (1, R, 128), lambda b, n: (n, b, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(nplanes)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(*x_planes, *x_planes, masks)
+    return out if isinstance(out, tuple) else (out,)
+
+
+def hier_apply_batched(
+    x_planes: Sequence[jax.Array],
+    pass_meta,
+    pass_masks,
+    bl: int,
+    *,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Apply one shared pass schedule to N nets at once.
+
+    x_planes: shared [mrows, 128] planes (every net routes the same
+    input). pass_meta: the static HierNet.pass_meta tuple (shared by all
+    N nets); pass_masks: per pass, the N nets' masks stacked on a leading
+    axis. Returns per-net [N, mrows, 128] planes. Layout tracking matches
+    hier_apply exactly — schedules are identical across the batch, so one
+    layout serves all nets."""
+    planes = tuple(x_planes)
+    R = bl // 128
+    mrows = planes[0].shape[-2]
+    nblocks = mrows // R
+    layout = None
+    for meta, mk in zip(pass_meta, pass_masks):
+        if meta[0] == "inner":
+            _, ks, ds = meta
+            planes = routed_apply_sliced_b(
+                planes, mk, ks, ds, layout=layout, interpret=interpret
+            )
+            layout = None
+        elif meta[0] == "butterfly":
+            _, bits = meta
+            planes, layout = butterfly_apply_b(
+                planes, mk, bits, bl, layout=layout, interpret=interpret
+            )
+            if tuple(layout) == tuple(range(len(layout))):
+                layout = None
+        elif meta[0] == "bigshift":
+            _, d = meta
+            planes = bigshift_apply_b(
+                planes, mk, d, bl, layout=layout, interpret=interpret
+            )
+            layout = None
+        else:
+            _, ds = meta
+            planes = window_shift_apply_b(
+                planes, mk, ds, bl, layout=layout, interpret=interpret
+            )
+            layout = None
+    if layout is not None:
+        phys = [0] * nblocks
+        for b in range(nblocks):
+            p = 0
+            for k, srcbit in enumerate(layout):
+                p |= ((b >> srcbit) & 1) << k
+            phys[b] = p
+        planes = tuple(
+            jnp.concatenate(
+                [pp[..., phys[b] * R : (phys[b] + 1) * R, :] for b in range(nblocks)],
+                axis=-2,
+            )
+            for pp in planes
+        )
+    return planes
+
+
 def hier_apply(
     x_planes: Sequence[jax.Array],
     passes,

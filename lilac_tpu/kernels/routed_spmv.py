@@ -489,6 +489,10 @@ def save_routed(path: str, M) -> None:
 
     import numpy as _np
 
+    assert not isinstance(M, RoutedMatHierP), (
+        "save the unpacked RoutedMatHier (callers pack AFTER save; the "
+        "disk format is per-net so old caches stay loadable)"
+    )
     kv = {"version": _CACHE_VERSION, "cls": type(M).__name__,
           "shape": _np.asarray(M.shape), "m": M.m}
     if isinstance(M, RoutedMatHier):
@@ -675,6 +679,96 @@ jax.tree_util.register_dataclass(
 )
 
 
+@dataclasses.dataclass
+class HierGroup:
+    """A batch of hier nets sharing one pass schedule, masks stacked on a
+    leading net axis (see rd.hier_apply_batched)."""
+
+    pass_masks: tuple  # per pass: [Ng, ...] stacked device masks
+    vals: jax.Array  # [Ng, m(,2)]
+    pass_meta: tuple  # static, shared by all Ng nets
+    net_ids: tuple  # static: original net indices (row-order bookkeeping)
+
+
+jax.tree_util.register_dataclass(
+    HierGroup, data_fields=["pass_masks", "vals"],
+    meta_fields=["pass_meta", "net_ids"],
+)
+
+
+@dataclasses.dataclass
+class RoutedMatHierP:
+    """RoutedMatHier with nets packed into schedule-groups: each pass over
+    a group is ONE pallas_call (grid (nblocks, Ng)) instead of Ng calls.
+    At NPB class D this collapses ~500 traced pallas ops per matvec to
+    ~15 — the difference between a 45-minute and a ~1-minute remote
+    compile, and it removes ~500 per-op dispatch overheads per matvec.
+    Disk format is unchanged (v2 per-net masks); packing happens at
+    build/load (maybe_pack_hier), stacking on HOST so the device upload
+    is a few large transfers instead of ~500 small ones."""
+
+    groups: tuple  # HierGroup
+    unperm: HierNet
+    chunks: tuple  # per ORIGINAL net id (same as RoutedMatHier.chunks)
+    shape: Tuple[int, int]
+    m: int
+    m_out: int
+    bl: int
+    n_nz: int
+
+    @property
+    def vals(self):  # traffic accounting (profiling.spmv_traffic_bytes)
+        return tuple(g.vals for g in self.groups)
+
+
+jax.tree_util.register_dataclass(
+    RoutedMatHierP,
+    data_fields=["groups", "unperm"],
+    meta_fields=["chunks", "shape", "m", "m_out", "bl", "n_nz"],
+)
+
+
+def pack_hier(M: RoutedMatHier) -> RoutedMatHierP:
+    """Group nets by identical pass schedule and stack their masks/vals on
+    a leading net axis (host-side stack, then one device put per pass)."""
+    order: list = []
+    by_key: dict = {}
+    for i, net in enumerate(M.nets):
+        key = net.pass_meta
+        if key not in by_key:
+            by_key[key] = []
+            order.append(key)
+        by_key[key].append(i)
+    groups = []
+    for key in order:
+        ids = by_key[key]
+        stacked = tuple(
+            jnp.asarray(
+                np.stack([np.asarray(M.nets[i].pass_masks[j]) for i in ids])
+            )
+            for j in range(len(key))
+        )
+        vals = jnp.asarray(np.stack([np.asarray(M.vals[i]) for i in ids]))
+        groups.append(
+            HierGroup(pass_masks=stacked, vals=vals, pass_meta=key,
+                      net_ids=tuple(ids))
+        )
+    return RoutedMatHierP(
+        groups=tuple(groups), unperm=M.unperm, chunks=M.chunks,
+        shape=M.shape, m=M.m, m_out=M.m_out, bl=M.bl, n_nz=M.n_nz,
+    )
+
+
+def maybe_pack_hier(M):
+    """Pack hier containers when the (default-on) LILAC_HIER_PACK knob is
+    set; pass anything else through unchanged."""
+    from lilac_tpu.config import cfg
+
+    if isinstance(M, RoutedMatHier) and cfg().hier_pack:
+        return pack_hier(M)
+    return M
+
+
 def _hier_gmax_cfg(bl: int, dtype: str) -> int:
     """Butterfly group exponent: explicit LILAC_HIER_GMAX wins, else the
     VMEM-budget derivation. A butterfly pass costs ~1 mask byte per slot
@@ -825,7 +919,18 @@ def build_routed_csr_hier(
 _plane = _pad_plane  # hierarchical section uses the same padding helper
 
 
-def routed_hier_spmv(A: RoutedMatHier, x, *, interpret: bool = False):
+def _chunk_reduce_net(prod_1d, chlist):
+    """Per-net ELL sub-block row sums: prod [m] -> concatenated row sums."""
+    segs = [
+        jnp.sum(prod_1d[s0 : s0 + rows_c * K].reshape(rows_c, K), axis=1)
+        for (s0, rows_c, K) in chlist
+    ]
+    return segs[0] if len(segs) == 1 else jnp.concatenate(segs)
+
+
+def routed_hier_spmv(A, x, *, interpret: bool = False):
+    if isinstance(A, RoutedMatHierP):
+        return _routed_hier_spmv_packed(A, x, interpret=interpret)
     xp = _plane(x.astype(A.vals[0].dtype), A.m)
     parts = []
     for net, vals, chlist in zip(A.nets, A.vals, A.chunks):
@@ -845,7 +950,78 @@ def routed_hier_spmv(A: RoutedMatHier, x, *, interpret: bool = False):
     return u.reshape(A.m_out)[:n]
 
 
-def routed_hier_spmv_df(A: RoutedMatHier, x: df.DF, *, interpret: bool = False):
+def _routed_hier_spmv_packed(A: RoutedMatHierP, x, *, interpret: bool = False):
+    xp = _plane(x.astype(A.groups[0].vals.dtype), A.m)
+    nnets = len(A.chunks)
+    parts = [None] * nnets
+    for grp in A.groups:
+        (o,) = rd.hier_apply_batched(
+            (xp,), grp.pass_meta, grp.pass_masks, A.bl, interpret=interpret
+        )
+        prod = grp.vals * o.reshape(len(grp.net_ids), A.m)
+        for li, ni in enumerate(grp.net_ids):
+            parts[ni] = _chunk_reduce_net(prod[li], A.chunks[ni])
+    y_sorted = jnp.concatenate(parts)
+    n = A.shape[0]
+    if A.unperm is None:
+        return jnp.pad(y_sorted, (0, n - y_sorted.shape[0]))
+    (u,) = hier_net_apply(
+        A.unperm, (_plane(y_sorted, A.m_out),), A.bl, interpret=interpret
+    )
+    return u.reshape(A.m_out)[:n]
+
+
+def _routed_hier_spmv_packed_df(
+    A: RoutedMatHierP, x: df.DF, *, interpret: bool = False
+):
+    ph = _plane(x.hi, A.m)
+    pl_ = _plane(x.lo, A.m)
+    nnets = len(A.chunks)
+    parts_h = [None] * nnets
+    parts_l = [None] * nnets
+    for grp in A.groups:
+        oh, ol = rd.hier_apply_batched(
+            (ph, pl_), grp.pass_meta, grp.pass_masks, A.bl, interpret=interpret
+        )
+        Ng = len(grp.net_ids)
+        a = df.DF(grp.vals[..., 0], grp.vals[..., 1])
+        prod = df.mul(a, df.DF(oh.reshape(Ng, A.m), ol.reshape(Ng, A.m)))
+        for li, ni in enumerate(grp.net_ids):
+            segs_h, segs_l = [], []
+            for (s0, rows_c, K) in A.chunks[ni]:
+                t = df.sum_df(
+                    df.DF(
+                        prod.hi[li, s0 : s0 + rows_c * K].reshape(rows_c, K),
+                        prod.lo[li, s0 : s0 + rows_c * K].reshape(rows_c, K),
+                    ),
+                    axis=1,
+                )
+                segs_h.append(t.hi)
+                segs_l.append(t.lo)
+            parts_h[ni] = (
+                segs_h[0] if len(segs_h) == 1 else jnp.concatenate(segs_h)
+            )
+            parts_l[ni] = (
+                segs_l[0] if len(segs_l) == 1 else jnp.concatenate(segs_l)
+            )
+    yh = jnp.concatenate(parts_h)
+    yl = jnp.concatenate(parts_l)
+    n = A.shape[0]
+    if A.unperm is None:
+        pad = n - yh.shape[0]
+        return df.DF(jnp.pad(yh, (0, pad)), jnp.pad(yl, (0, pad)))
+    uh, ul = hier_net_apply(
+        A.unperm,
+        (_plane(yh, A.m_out), _plane(yl, A.m_out)),
+        A.bl,
+        interpret=interpret,
+    )
+    return df.DF(uh.reshape(A.m_out)[:n], ul.reshape(A.m_out)[:n])
+
+
+def routed_hier_spmv_df(A, x: df.DF, *, interpret: bool = False):
+    if isinstance(A, RoutedMatHierP):
+        return _routed_hier_spmv_packed_df(A, x, interpret=interpret)
     ph = _plane(x.hi, A.m)
     pl_ = _plane(x.lo, A.m)
     his, los = [], []

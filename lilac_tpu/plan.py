@@ -142,8 +142,13 @@ class SpmvPlan:
                 if cache_path is not None:
                     save_routed(cache_path, self.A)
             from lilac_tpu.kernels.routed_spmv import RoutedMatHier as _RMH
+            from lilac_tpu.kernels.routed_spmv import RoutedMatHierP as _RMHP
+            from lilac_tpu.kernels.routed_spmv import maybe_pack_hier
 
-            base = "routed_hier" if isinstance(self.A, _RMH) else "routed"
+            self.A = maybe_pack_hier(self.A)
+            base = (
+                "routed_hier" if isinstance(self.A, (_RMH, _RMHP)) else "routed"
+            )
             self.kernel = kernel = base + ("_df" if vdt == "df64" else "")
         else:
             raise ValueError(f"kernel {kernel!r} not wired into SpmvPlan yet")

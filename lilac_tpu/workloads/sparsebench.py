@@ -400,10 +400,13 @@ def benchmark(size: int, *, maxit=100, rtol=1e-6, dtype="df64", seed=0,
 
     # chunked dispatch: long single executions exceed the TPU worker
     # watchdog at multi-million-row sizes (same discipline as npb_cg).
-    # Budget ~500M row-iterations per dispatch: with routed kernels that
-    # is a few seconds of device time, far under the watchdog, and avoids
-    # paying the ~60ms tunnel round-trip per chunk
-    chunk = min(maxit, max(1, (500_000_000) // max(n, 1)))
+    # Budget row-iterations per dispatch so device programs stay well
+    # under the ~1 min watchdog: hierarchical routed kernels stream the
+    # whole plan (hundreds of MB of masks) per matvec, so they get a
+    # 10x tighter budget — the 500M budget put all 100 sb160 iterations
+    # in one dispatch and the worker crashed mid-execution (2026-08-19).
+    per_dispatch = 50_000_000 if plan.kernel.startswith("routed_hier") else 500_000_000
+    chunk = min(maxit, max(1, per_dispatch // max(n, 1)))
 
     @jax.jit
     def solve_to(As, b, state, limit):

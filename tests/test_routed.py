@@ -407,3 +407,56 @@ def test_vmem_feasibility_check():
             )
         finally:
             del os.environ["LILAC_HIER_GMAX"]
+
+
+def test_hier_packed_matches_legacy_and_dense(rng):
+    """Net-batched (packed) hier SpMV == per-net hier SpMV == dense oracle,
+    f32 and df64. The packed path collapses each pass over all nets into
+    one pallas_call (grid (nblocks, N)) — pure batching, bit-identical
+    switch semantics."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from lilac_tpu.kernels.routed_spmv import (
+        build_routed_csr_hier,
+        maybe_pack_hier,
+        pack_hier,
+        routed_hier_spmv,
+        routed_hier_spmv_df,
+    )
+    from lilac_tpu.ops import dfloat as df
+
+    n = 3000
+    counts = rng.integers(1, 9, size=n)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    indices = rng.integers(0, n, size=int(indptr[-1]))
+    data = rng.normal(size=len(indices))
+    A = sp.csr_matrix((data, indices, indptr), shape=(n, n)).toarray()
+    x = rng.normal(size=n)
+
+    M = build_routed_csr_hier(indptr, indices, data, (n, n), dtype="f32", bl=256)
+    P = pack_hier(M)
+    assert sum(len(g.net_ids) for g in P.groups) == len(M.nets)
+    y_ref = A @ x
+    y_legacy = np.asarray(routed_hier_spmv(M, jnp.asarray(x, jnp.float32)))
+    y_packed = np.asarray(routed_hier_spmv(P, jnp.asarray(x, jnp.float32)))
+    np.testing.assert_array_equal(y_packed, y_legacy)  # identical schedule
+    np.testing.assert_allclose(y_packed, y_ref, rtol=2e-4, atol=2e-4)
+
+    Md = build_routed_csr_hier(indptr, indices, data, (n, n), dtype="df64", bl=256)
+    Pd = pack_hier(Md)
+    xd = df.from_f64(x)
+    yd_legacy = df.to_f64(routed_hier_spmv_df(Md, xd))
+    yd_packed = df.to_f64(routed_hier_spmv_df(Pd, xd))
+    np.testing.assert_array_equal(yd_packed, yd_legacy)
+    np.testing.assert_allclose(yd_packed, y_ref, rtol=1e-12, atol=1e-12)
+
+    # knob gates packing (default on)
+    import os
+    assert isinstance(maybe_pack_hier(M), type(P))
+    os.environ["LILAC_HIER_PACK"] = "0"
+    try:
+        assert maybe_pack_hier(M) is M
+    finally:
+        del os.environ["LILAC_HIER_PACK"]
