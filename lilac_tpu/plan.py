@@ -285,8 +285,22 @@ class FactoredNPBPlan:
         cls = CLASSES[class_name.upper()]
         self.shape = (cls.na, cls.na)
         self.dtype = dtype
-        self.kernel = "xla_factored_df" if dtype == "df64" else "xla_factored"
         self.A, self.nnz = _f.build_factored(class_name, dtype=dtype)
+        # label the actual sub-kernel serving the V/VT passes: factored
+        # segmode "routed" stages hier routing networks, everything else is
+        # the XLA gather family (captured logs before 2026-08-19 said
+        # "xla_factored*" even for routed runs — a misnomer)
+        from lilac_tpu.kernels.routed_spmv import (
+            RoutedMat, RoutedMatHier, RoutedMatHierP, RoutedMatSeg,
+        )
+
+        sub = (
+            "routed"
+            if isinstance(self.A.V, (RoutedMat, RoutedMatHier,
+                                     RoutedMatHierP, RoutedMatSeg))
+            else "xla"
+        )
+        self.kernel = f"factored_{sub}" + ("_df" if dtype == "df64" else "")
 
     def matvec_with(self, A, x):
         from lilac_tpu.kernels import factored as _f
