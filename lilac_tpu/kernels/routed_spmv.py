@@ -466,14 +466,24 @@ def _savez_atomic(path: str, **kv) -> None:
     # Dot-prefix the temp name so plan-cache globs (data/plan_**.npz,
     # data/routed2_*) can never match an in-progress write, and a writer
     # killed mid-savez (SIGKILL skips the finally) leaves only a hidden
-    # stale file; sweep any stale temps for this path from earlier kills.
+    # stale file; sweep stale temps for this path from earlier kills —
+    # but ONLY temps whose owning pid is dead: a live concurrent writer
+    # (chip session + host prebuild sharing a cache key) must keep its
+    # in-flight temp or its os.replace raises FileNotFoundError.
     # Must end in .npz or np.savez appends the suffix and the replace
     # source would not exist.
     d, base = _os.path.split(path)
     for old in _glob.glob(_os.path.join(d, f".tmp_*_{base}")):
         try:
-            _os.unlink(old)
+            owner = int(_os.path.basename(old).split("_", 2)[1])
+            _os.kill(owner, 0)  # raises if owner is gone
+        except (ValueError, IndexError, ProcessLookupError):
+            try:
+                _os.unlink(old)
+            except OSError:
+                pass
         except OSError:
+            # EPERM etc: pid exists but isn't ours — leave it alone
             pass
     tmp = _os.path.join(d, f".tmp_{_os.getpid()}_{base}")
     try:
@@ -579,9 +589,12 @@ def load_routed(path: str):
                 pass_meta=detuple(meta["unperm_meta"]),
             )
         # caches written by older configs may encode passes the current
-        # kernels cannot fit in scoped VMEM — reject at load, not on chip
+        # kernels cannot fit in scoped VMEM — reject at load, not on chip.
+        # Check EVERY net: compile_hier emits per-net pass schedules
+        # (butterfly G varies with stage count), so the worst pass can sit
+        # in any net; the check is host arithmetic on tiny tuples.
         nplanes = 2 if vals and vals[0].ndim == 2 else 1
-        for net in nets[:1] + ([unperm] if unperm is not None else []):
+        for net in nets + ([unperm] if unperm is not None else []):
             rd.check_vmem_feasible(
                 net.pass_meta, int(meta["bl"]), nplanes,
                 what=f"cached hier plan {path}",
