@@ -59,7 +59,13 @@ BASELINE_S = {
 # plans are 15% smaller, so the estimate drops — optimism is safe here:
 # the ladder banks each verified rung on stdout BEFORE climbing, so a
 # class-D overrun still leaves a captured class-C line.
-WARM_WALL_S = {"A": 15.0, "C": 55.0, "D": 450.0}
+# "A0" is the insurance rung: class A through the gather-kernel factored
+# path (no routed-plan build, a compile-light XLA program) — it exists to
+# bank SOME verified line in the first ~2 minutes even with every cache
+# cold. Round 3's driver run (BENCH_r03.json rc=1) died with nothing
+# banked because the first routed rung's cold plan-build + remote compile
+# outran the whole 480 s budget.
+WARM_WALL_S = {"A0": 12.0, "A": 15.0, "C": 55.0, "D": 450.0}
 
 _best = None  # best completed result line (dict)
 _phase = "startup"  # what the run was doing when/if the watchdog fires
@@ -106,14 +112,20 @@ def _watchdog(deadline):
         time.sleep(min(left, 2.0))
 
 
-def _run_class(class_name, dtype, kernel):
+def _run_class(class_name, dtype, kernel, segmode=None):
     """Run one class; returns (line dict, wall seconds)."""
     import jax  # noqa: F401
 
     from lilac_tpu.workloads import npb_cg
 
     t0 = time.time()
-    res = npb_cg.run(class_name, dtype=dtype, kernel=kernel)
+    if segmode is not None:
+        os.environ["LILAC_FACTORED_SEGMODE"] = segmode
+    try:
+        res = npb_cg.run(class_name, dtype=dtype, kernel=kernel)
+    finally:
+        if segmode is not None:
+            os.environ.pop("LILAC_FACTORED_SEGMODE", None)
     wall = time.time() - t0
     line = {
         "metric": f"npb_cg_class{res.class_name}_time_to_solution",
@@ -173,9 +185,20 @@ def main():
         _best = line if ok else {**line, "error": "zeta verification FAILED"}
         _emit_and_exit(0 if ok else 1)
 
-    ladder = ["A", "C", "D"]
-    for i, cls in enumerate(ladder):
-        line, wall = _run_class(cls, dtype, kernel)
+    # Rung names map to (NPB class, factored segmode override). A0 runs the
+    # gather path; later rungs use the configured (routed) path. Class A
+    # itself is NOT on the routed ladder: its routed capture is 0.88x (the
+    # problem is dispatch-overhead-bound at n=14k) and a later rung always
+    # overwrites the banked best, so the slot is better spent reaching C/D.
+    ladder = [("A0", "A", "single"), ("C", "C", None), ("D", "D", None)]
+    for i, (rung, cls, segmode) in enumerate(ladder):
+        try:
+            line, wall = _run_class(cls, dtype, kernel, segmode=segmode)
+        except Exception as e:  # a failed rung must not kill banked ones
+            print(f"bench: rung {rung} FAILED: {e!r}", file=sys.stderr)
+            if rung == "A0":
+                continue
+            break
         print(f"bench: class {cls} wall {wall:.1f}s -> {line['value']}s "
               f"(x{line['vs_baseline']})", file=sys.stderr)
         # f32 rungs can never pass the 1e-10 zeta check — the f32 allowance
@@ -195,16 +218,16 @@ def main():
         if i + 1 >= len(ladder):
             break
         gc.collect()
-        nxt = ladder[i + 1]
+        nxt = ladder[i + 1][0]
         # measured-scaled prediction: this rung's warm-cache baseline vs its
         # actual wall calibrates compile/tunnel slowness; the first rung's
         # one-time cold-server init (~4-5 min) is excluded via the offset
-        slow = max(1.0, (wall if i else min(wall, WARM_WALL_S[cls] * 2.0))
-                   / WARM_WALL_S[cls])
+        slow = max(1.0, (wall if i else min(wall, WARM_WALL_S[rung] * 2.0))
+                   / WARM_WALL_S[rung])
         pred = WARM_WALL_S[nxt] * slow
         remaining = budget - _elapsed()
         if remaining < 1.25 * pred + 15.0:
-            print(f"bench: stopping ladder at {cls} (next={nxt} pred "
+            print(f"bench: stopping ladder at {rung} (next={nxt} pred "
                   f"{pred:.0f}s, remaining {remaining:.0f}s)", file=sys.stderr)
             break
     _emit_and_exit()

@@ -512,6 +512,7 @@ def save_routed(path: str, M) -> None:
                 "m_out": M.m_out,
                 "bl": M.bl,
                 "n_nz": M.n_nz,
+                "colmajor": bool(M.colmajor),
                 "nets_meta": [net.pass_meta for net in M.nets],
                 "unperm_meta": (
                     M.unperm.pass_meta if M.unperm is not None else None
@@ -604,6 +605,9 @@ def load_routed(path: str):
             chunks=detuple(meta["chunks"]), shape=shape, m=m,
             m_out=int(meta["m_out"]), bl=int(meta["bl"]),
             n_nz=int(meta["n_nz"]),
+            # caches written before the column-major layout existed carry
+            # no flag and are row-major; both layouts stay loadable
+            colmajor=bool(meta.get("colmajor", False)),
         )
     if str(z["cls"]) == "RoutedMat":
         inv = z["inv_perm"]
@@ -683,12 +687,20 @@ class RoutedMatHier:
     m_out: int
     bl: int
     n_nz: int  # rows with nonzero count = length of the sorted concat
+    # slot layout inside each (s0, rows_c, K) chunk: False = row-major
+    # (entry k of local row r at s0 + r*K + k), True = column-major
+    # (s0 + k*rows_c + r). Column-major keeps the row-sum reduction in
+    # rows-minor (K, rows_c) layouts — no 128-lane tile padding on the
+    # df64 EFT intermediates (see df.sum_df0). Beneš hier nets have
+    # permutation-independent depth, so the layout choice is free on the
+    # routing side.
+    colmajor: bool = False
 
 
 jax.tree_util.register_dataclass(
     RoutedMatHier,
     data_fields=["nets", "vals", "unperm"],
-    meta_fields=["chunks", "shape", "m", "m_out", "bl", "n_nz"],
+    meta_fields=["chunks", "shape", "m", "m_out", "bl", "n_nz", "colmajor"],
 )
 
 
@@ -728,6 +740,7 @@ class RoutedMatHierP:
     m_out: int
     bl: int
     n_nz: int
+    colmajor: bool = False  # see RoutedMatHier.colmajor
 
     @property
     def vals(self):  # traffic accounting (profiling.spmv_traffic_bytes)
@@ -737,7 +750,7 @@ class RoutedMatHierP:
 jax.tree_util.register_dataclass(
     RoutedMatHierP,
     data_fields=["groups", "unperm"],
-    meta_fields=["chunks", "shape", "m", "m_out", "bl", "n_nz"],
+    meta_fields=["chunks", "shape", "m", "m_out", "bl", "n_nz", "colmajor"],
 )
 
 
@@ -769,6 +782,7 @@ def pack_hier(M: RoutedMatHier) -> RoutedMatHierP:
     return RoutedMatHierP(
         groups=tuple(groups), unperm=M.unperm, chunks=M.chunks,
         shape=M.shape, m=M.m, m_out=M.m_out, bl=M.bl, n_nz=M.n_nz,
+        colmajor=M.colmajor,
     )
 
 
@@ -807,6 +821,7 @@ def build_routed_csr_hier(
     m: int | None = None,
     host_batch: int = 4,
     verbose: bool = False,
+    colmajor: bool = True,
 ) -> RoutedMatHier:
     n, ncol = shape
     counts = np.diff(indptr).astype(np.int64)
@@ -853,22 +868,28 @@ def build_routed_csr_hier(
     else:
         dvals = data.astype({"f32": np.float32, "f64": np.float64}[dtype])
 
-    # slot assignment (vectorized): entry e of row r -> net/slot
+    # slot assignment (vectorized): entry e of row r -> net/slot.
+    # Row-major chunks put entry k of local row r at s0 + r*K + k
+    # (stride 1 along a row); column-major at s0 + k*rows_c + r
+    # (stride rows_c along a row) — see RoutedMatHier.colmajor.
     net_of = np.zeros(n, dtype=np.int64)
     slot0_of = np.zeros(n, dtype=np.int64)
-    k_of = np.ones(n, dtype=np.int64)
+    stride_of = np.ones(n, dtype=np.int64)
     pos = 0
     for b, chlist in enumerate(nets_chunks):
         for (s0, rows_c, K) in chlist:
             rows_b = order[pos : pos + rows_c]
             net_of[rows_b] = b
-            slot0_of[rows_b] = s0 + np.arange(rows_c) * K
-            k_of[rows_b] = K
+            if colmajor:
+                slot0_of[rows_b] = s0 + np.arange(rows_c)
+                stride_of[rows_b] = rows_c
+            else:
+                slot0_of[rows_b] = s0 + np.arange(rows_c) * K
             pos += rows_c
     rows_rep = np.repeat(np.arange(n), counts)
     slot_in_row = np.arange(len(indices)) - np.repeat(indptr[:-1], counts)
     b_e = net_of[rows_rep]
-    t_e = slot0_of[rows_rep] + slot_in_row
+    t_e = slot0_of[rows_rep] + slot_in_row * stride_of[rows_rep]
 
     # padding slots gather (slot % ncol): bounded broadcast runs, value 0
     base = np.tile(np.arange(m, dtype=np.int64) % ncol, (nnets, 1))
@@ -926,19 +947,51 @@ def build_routed_csr_hier(
         m_out=m_out,
         bl=bl,
         n_nz=n_nz,
+        colmajor=colmajor,
     )
 
 
 _plane = _pad_plane  # hierarchical section uses the same padding helper
 
 
-def _chunk_reduce_net(prod_1d, chlist):
+def _chunk_reduce_net(prod_1d, chlist, colmajor=False):
     """Per-net ELL sub-block row sums: prod [m] -> concatenated row sums."""
     segs = [
-        jnp.sum(prod_1d[s0 : s0 + rows_c * K].reshape(rows_c, K), axis=1)
+        jnp.sum(
+            prod_1d[s0 : s0 + rows_c * K].reshape(
+                (K, rows_c) if colmajor else (rows_c, K)
+            ),
+            axis=0 if colmajor else 1,
+        )
         for (s0, rows_c, K) in chlist
     ]
     return segs[0] if len(segs) == 1 else jnp.concatenate(segs)
+
+
+def _chunk_reduce_net_df(prod: df.DF, chlist, colmajor=False):
+    """df64 per-net ELL row sums -> (hi, lo) 1D concatenated arrays.
+
+    Column-major chunks reduce over the MAJOR axis of (K, rows_c) views
+    (df.sum_df0) so no barriered EFT intermediate ever takes a K-minor
+    layout — the 8-32x tile-padding blow-up that dominated the row-major
+    hier df64 matvec (measured ~350 ms of 467 ms at SparseBench-160)."""
+    his, los = [], []
+    for (s0, rows_c, K) in chlist:
+        ph = prod.hi[s0 : s0 + rows_c * K]
+        pl_ = prod.lo[s0 : s0 + rows_c * K]
+        if colmajor:
+            t = df.sum_df0(
+                df.DF(ph.reshape(K, rows_c), pl_.reshape(K, rows_c))
+            )
+        else:
+            t = df.sum_df(
+                df.DF(ph.reshape(rows_c, K), pl_.reshape(rows_c, K)), axis=1
+            )
+        his.append(t.hi)
+        los.append(t.lo)
+    hi = his[0] if len(his) == 1 else jnp.concatenate(his)
+    lo = los[0] if len(los) == 1 else jnp.concatenate(los)
+    return hi, lo
 
 
 def routed_hier_spmv(A, x, *, interpret: bool = False):
@@ -949,10 +1002,7 @@ def routed_hier_spmv(A, x, *, interpret: bool = False):
     for net, vals, chlist in zip(A.nets, A.vals, A.chunks):
         (o,) = hier_net_apply(net, (xp,), A.bl, interpret=interpret)
         prod = vals * o.reshape(A.m)
-        for (s0, rows_c, K) in chlist:
-            parts.append(
-                jnp.sum(prod[s0 : s0 + rows_c * K].reshape(rows_c, K), axis=1)
-            )
+        parts.append(_chunk_reduce_net(prod, chlist, A.colmajor))
     y_sorted = jnp.concatenate(parts)
     n = A.shape[0]
     if A.unperm is None:
@@ -973,7 +1023,7 @@ def _routed_hier_spmv_packed(A: RoutedMatHierP, x, *, interpret: bool = False):
         )
         prod = grp.vals * o.reshape(len(grp.net_ids), A.m)
         for li, ni in enumerate(grp.net_ids):
-            parts[ni] = _chunk_reduce_net(prod[li], A.chunks[ni])
+            parts[ni] = _chunk_reduce_net(prod[li], A.chunks[ni], A.colmajor)
     y_sorted = jnp.concatenate(parts)
     n = A.shape[0]
     if A.unperm is None:
@@ -1000,22 +1050,8 @@ def _routed_hier_spmv_packed_df(
         a = df.DF(grp.vals[..., 0], grp.vals[..., 1])
         prod = df.mul(a, df.DF(oh.reshape(Ng, A.m), ol.reshape(Ng, A.m)))
         for li, ni in enumerate(grp.net_ids):
-            segs_h, segs_l = [], []
-            for (s0, rows_c, K) in A.chunks[ni]:
-                t = df.sum_df(
-                    df.DF(
-                        prod.hi[li, s0 : s0 + rows_c * K].reshape(rows_c, K),
-                        prod.lo[li, s0 : s0 + rows_c * K].reshape(rows_c, K),
-                    ),
-                    axis=1,
-                )
-                segs_h.append(t.hi)
-                segs_l.append(t.lo)
-            parts_h[ni] = (
-                segs_h[0] if len(segs_h) == 1 else jnp.concatenate(segs_h)
-            )
-            parts_l[ni] = (
-                segs_l[0] if len(segs_l) == 1 else jnp.concatenate(segs_l)
+            parts_h[ni], parts_l[ni] = _chunk_reduce_net_df(
+                df.DF(prod.hi[li], prod.lo[li]), A.chunks[ni], A.colmajor
             )
     yh = jnp.concatenate(parts_h)
     yl = jnp.concatenate(parts_l)
@@ -1042,16 +1078,9 @@ def routed_hier_spmv_df(A, x: df.DF, *, interpret: bool = False):
         oh, ol = hier_net_apply(net, (ph, pl_), A.bl, interpret=interpret)
         a = df.DF(vals[..., 0], vals[..., 1])
         prod = df.mul(a, df.DF(oh.reshape(A.m), ol.reshape(A.m)))
-        for (s0, rows_c, K) in chlist:
-            t = df.sum_df(
-                df.DF(
-                    prod.hi[s0 : s0 + rows_c * K].reshape(rows_c, K),
-                    prod.lo[s0 : s0 + rows_c * K].reshape(rows_c, K),
-                ),
-                axis=1,
-            )
-            his.append(t.hi)
-            los.append(t.lo)
+        h, l_ = _chunk_reduce_net_df(prod, chlist, A.colmajor)
+        his.append(h)
+        los.append(l_)
     yh = jnp.concatenate(his)
     yl = jnp.concatenate(los)
     n = A.shape[0]

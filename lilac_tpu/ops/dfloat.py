@@ -254,6 +254,30 @@ def sum_df(a: DF, axis: int = -1) -> DF:
     return DF(hi[..., 0], lo[..., 0])
 
 
+def sum_df0(a: DF) -> DF:
+    """Accurate reduction along axis 0 by pairwise df-addition halving.
+
+    Equivalent to sum_df(a, axis=0) but WITHOUT the moveaxis: reducing a
+    (K, rows) array over its MAJOR axis keeps every intermediate in the
+    rows-minor layout. That matters on TPU: sum_df's moveaxis transposes
+    to (rows, K), and XLA pads the minor dimension to the 128-lane tile —
+    at ELL-typical K (7-27) that is an 8-32x materialization blow-up on
+    every barriered EFT intermediate (measured: ~350 ms of a 467 ms
+    hier df64 matvec sat in this glue at SparseBench-160 scale)."""
+    hi, lo = a.hi, a.lo
+    k = hi.shape[0]
+    while k > 1:
+        half = (k + 1) // 2
+        pad = half * 2 - k
+        if pad:
+            hi = jnp.pad(hi, [(0, pad)] + [(0, 0)] * (hi.ndim - 1))
+            lo = jnp.pad(lo, [(0, pad)] + [(0, 0)] * (lo.ndim - 1))
+        r = add(DF(hi[:half], lo[:half]), DF(hi[half:], lo[half:]))
+        hi, lo = r.hi, r.lo
+        k = half
+    return DF(hi[0], lo[0])
+
+
 def dot(a: DF, b: DF) -> DF:
     """Accurate dot product of two df vectors (TwoProd + pairwise df-sum)."""
     prods = mul(a, b)

@@ -169,17 +169,20 @@ def _esc_all(va, ca, cnt_a, vb, cb, cnt_b, n_sentinel):
 
 
 def esc_spgemm(a_csr, b_csr, shape_a, shape_b, *, row_chunk: int = 16384,
-               dtype=np.float32):
+               dtype=np.float32, device_budget_bytes: int = 512 << 20):
     """Device SpGEMM (ESC): returns canonical host CSR of C = A·B.
 
     Rows of C depend only on the matching rows of A, so chunking A's rows
     is exact; each chunk expands to a static [chunk, Ka, Kb] product
     tensor, lexicographically sorts (row, col) keys on device, and
-    segment-sums duplicates. All chunks run inside one jitted lax.map
-    (device-resident operands, one dispatch, one fetch); the host does
-    only the final boolean compaction. Expansion memory per chunk =
-    chunk·Ka·Kb·(4+4+itemsize) bytes, and the stacked result fetch is
-    ~13 bytes per partial product — pick row_chunk accordingly."""
+    segment-sums duplicates. Chunks run through a jitted lax.map in
+    SUPER-CHUNK groups sized by device_budget_bytes: the stacked
+    (rk, ck, sums, first) result of one group stays ~13-17 bytes per
+    ELL-padded partial product, so bounding the group bounds peak device
+    residency while keeping dispatch count low (round 2's per-chunk
+    fetches serialized device work; round 3's single dispatch made the
+    full n·Ka·Kb expansion resident and could OOM large products). The
+    host does only the boolean compaction per group."""
     import jax.numpy as jnp
 
     from lilac_tpu.formats.convert import coo_to_csr_arrays, csr_to_ell_arrays
@@ -209,25 +212,42 @@ def esc_spgemm(a_csr, b_csr, shape_a, shape_b, *, row_chunk: int = 16384,
     else:
         va, ca_cols, cnt_a_full = va[: nc * R], ca_cols[: nc * R], cnt_a_full[: nc * R]
     Ka = va.shape[1]
-    rk, ck, sums, first = _esc_all(
-        jnp.asarray(va.reshape(nc, R, Ka)),
-        jnp.asarray(ca_cols.reshape(nc, R, Ka)),
-        jnp.asarray(cnt_a_full.reshape(nc, R)),
-        jnp.asarray(vb), jnp.asarray(cb_cols), jnp.asarray(cnt_b),
-        R,
-    )
-    # one fetch for everything, then vectorized host compaction
-    rk = np.asarray(rk)  # [nc, R*Ka*Kb]
-    ck, sums, first = np.asarray(ck), np.asarray(sums), np.asarray(first)
-    keep = first & (rk < R)  # unique (row, col) groups, non-sentinel
-    nuniq = keep.sum(axis=1)  # per chunk
-    rows_all = (rk + (np.arange(nc, dtype=np.int64) * R)[:, None])[keep]
-    cols_all = ck[keep].astype(np.int64)
-    # valid groups sort before the sentinel group: each chunk's segment
-    # sums are exactly its first nuniq entries, in the same sorted order
-    # as the kept (row, col) keys
-    vals_mask = np.arange(rk.shape[1])[None, :] < nuniq[:, None]
-    vals_all = sums[vals_mask].astype(np.float64)
+    Kb = vb.shape[1]
+    va = va.reshape(nc, R, Ka)
+    ca_cols = ca_cols.reshape(nc, R, Ka)
+    cnt_a_full = cnt_a_full.reshape(nc, R)
+    # B is shared by every group: upload once
+    vb_d, cb_d, cnt_b_d = jnp.asarray(vb), jnp.asarray(cb_cols), jnp.asarray(cnt_b)
+    itemsize = np.dtype(dtype).itemsize
+    # per-chunk stacked residency: rk/ck int32 + sums + first bool, plus
+    # one sort-scratch copy of the key/value triple
+    per_chunk = R * max(Ka, 1) * max(Kb, 1) * (2 * (4 + 4 + itemsize) + 1)
+    group = max(1, min(nc, int(device_budget_bytes // max(per_chunk, 1))))
+
+    rows_parts, cols_parts, vals_parts = [], [], []
+    for g0 in range(0, nc, group):
+        g1 = min(g0 + group, nc)
+        rk, ck, sums, first = _esc_all(
+            jnp.asarray(va[g0:g1]), jnp.asarray(ca_cols[g0:g1]),
+            jnp.asarray(cnt_a_full[g0:g1]), vb_d, cb_d, cnt_b_d, R,
+        )
+        # one fetch per group, then vectorized host compaction
+        rk = np.asarray(rk)  # [g, R*Ka*Kb]
+        ck, sums, first = np.asarray(ck), np.asarray(sums), np.asarray(first)
+        keep = first & (rk < R)  # unique (row, col) groups, non-sentinel
+        nuniq = keep.sum(axis=1)  # per chunk
+        rows_parts.append(
+            (rk + (np.arange(g0, g1, dtype=np.int64) * R)[:, None])[keep]
+        )
+        cols_parts.append(ck[keep].astype(np.int64))
+        # valid groups sort before the sentinel group: each chunk's segment
+        # sums are exactly its first nuniq entries, in the same sorted order
+        # as the kept (row, col) keys
+        vals_mask = np.arange(rk.shape[1])[None, :] < nuniq[:, None]
+        vals_parts.append(sums[vals_mask].astype(np.float64))
+    rows_all = np.concatenate(rows_parts)
+    cols_all = np.concatenate(cols_parts)
+    vals_all = np.concatenate(vals_parts)
     ptr, idx, val = coo_to_csr_arrays(rows_all, cols_all, vals_all, (n, m))
     return ptr, idx, val, (n, m)
 

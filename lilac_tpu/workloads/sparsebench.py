@@ -333,7 +333,8 @@ def build_bench_plans(size: int, *, dtype="df64", seed=0, kernel="auto",
     """Stage the benchmark-mode operator pair (A, Aᵀ as its own forward
     plan). Split out of benchmark() so a host-only job can pre-build the
     routed plan disk caches without touching the device. Returns
-    (plan, plan_t, n)."""
+    (plan, plan_t, n, (indptr, indices, data, shape)) — the host CSR is
+    handed back so callers can run f64 validation against it."""
     from lilac_tpu.generate.random_crs import random_crs
     from lilac_tpu.plan import SpmvPlan, transposed_plan
 

@@ -239,6 +239,66 @@ def test_routed_hier_spmv_df_matches_oracle(rng):
     np.testing.assert_allclose(y, A @ x, rtol=1e-13, atol=1e-13)
 
 
+def test_routed_hier_colmajor_layouts_agree(rng):
+    """Row-major and column-major chunk layouts are the same operator.
+
+    Column-major (the default) keeps the row-sum reduction in rows-minor
+    layouts on TPU; row-major stays loadable for pre-existing caches."""
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed_spmv as rs
+    from lilac_tpu.ops import dfloat as df
+
+    A = _random_csr_spread(rng, 2500, 2800, 5.0)
+    x = rng.normal(size=A.shape[1])
+    want = A @ x
+    for dtype in ("f32", "df64"):
+        Ms = [
+            rs.build_routed_csr_hier(
+                A.indptr, A.indices, A.data, A.shape, dtype=dtype, bl=1024,
+                colmajor=cm,
+            )
+            for cm in (False, True)
+        ]
+        assert Ms[0].colmajor is False and Ms[1].colmajor is True
+        # the chunk metadata is layout-independent; only slot order changes
+        assert Ms[0].chunks == Ms[1].chunks
+        for M in Ms:
+            if dtype == "f32":
+                y = np.asarray(
+                    rs.routed_hier_spmv(
+                        M, jnp.asarray(x.astype(np.float32)), interpret=True
+                    )
+                )
+                np.testing.assert_allclose(y, want, rtol=2e-5, atol=2e-5)
+            else:
+                y = df.to_f64(
+                    rs.routed_hier_spmv_df(M, df.from_f64(x), interpret=True)
+                )
+                np.testing.assert_allclose(y, want, rtol=1e-13, atol=1e-13)
+
+
+def test_hier_colmajor_cache_roundtrip(rng, tmp_path):
+    """save/load preserves the colmajor flag (old caches default False)."""
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed_spmv as rs
+
+    A = _random_csr_spread(rng, 1500, 2500, 5.0)
+    M = rs.build_routed_csr_hier(
+        A.indptr, A.indices, A.data, A.shape, dtype="f32", bl=1024,
+        colmajor=True,
+    )
+    p = str(tmp_path / "hier_cm.npz")
+    rs.save_routed(p, M)
+    M2 = rs.load_routed(p)
+    assert M2.colmajor is True
+    x = rng.normal(size=A.shape[1]).astype(np.float32)
+    y1 = np.asarray(rs.routed_hier_spmv(M, jnp.asarray(x), interpret=True))
+    y2 = np.asarray(rs.routed_hier_spmv(M2, jnp.asarray(x), interpret=True))
+    np.testing.assert_array_equal(y1, y2)
+
+
 def test_hier_cache_roundtrip(rng, tmp_path):
     import jax.numpy as jnp
 
@@ -376,7 +436,7 @@ def test_hier_builder_gmax_env_override(rng, monkeypatch):
     assert rs._hier_gmax_cfg(1 << 16, "df64") == 2  # VMEM-derived default
 
 
-def test_vmem_feasibility_check():
+def test_vmem_feasibility_check(monkeypatch):
     """Plan-time scoped-VMEM gate (round-2 verdict weak #5): infeasible
     bl/gmax configs must fail on the host at build time, feasible ones
     (incl. the shipped NPB/sb160 configs) must pass."""
@@ -398,18 +458,14 @@ def test_vmem_feasibility_check():
     indptr = np.arange(5, dtype=np.int64) * 2
     indices = np.arange(8, dtype=np.int64) % 4
     data = np.ones(8)
+    monkeypatch.setenv("LILAC_HIER_GMAX", "3")
     with pytest.raises(ValueError, match="VMEM-infeasible"):
-        import os
-        os.environ["LILAC_HIER_GMAX"] = "3"
-        try:
-            build_routed_csr_hier(
-                indptr, indices, data, (4, 4), dtype="df64", bl=1 << 19
-            )
-        finally:
-            del os.environ["LILAC_HIER_GMAX"]
+        build_routed_csr_hier(
+            indptr, indices, data, (4, 4), dtype="df64", bl=1 << 19
+        )
 
 
-def test_hier_packed_matches_legacy_and_dense(rng):
+def test_hier_packed_matches_legacy_and_dense(rng, monkeypatch):
     """Net-batched (packed) hier SpMV == per-net hier SpMV == dense oracle,
     f32 and df64. The packed path collapses each pass over all nets into
     one pallas_call (grid (nblocks, N)) — pure batching, bit-identical
@@ -453,10 +509,6 @@ def test_hier_packed_matches_legacy_and_dense(rng):
     np.testing.assert_allclose(yd_packed, y_ref, rtol=1e-12, atol=1e-12)
 
     # knob gates packing (default on)
-    import os
     assert isinstance(maybe_pack_hier(M), type(P))
-    os.environ["LILAC_HIER_PACK"] = "0"
-    try:
-        assert maybe_pack_hier(M) is M
-    finally:
-        del os.environ["LILAC_HIER_PACK"]
+    monkeypatch.setenv("LILAC_HIER_PACK", "0")
+    assert maybe_pack_hier(M) is M

@@ -101,7 +101,9 @@ def upto_reduce(ph, pl_):
             a = df.DF(grp.vals[..., 0], grp.vals[..., 1])
             prod = df.mul(a, df.DF(oh.reshape(Ng, A.m), ol.reshape(Ng, A.m)))
             for li, ni in enumerate(grp.net_ids):
-                parts_h[ni] = _chunk_reduce_net(prod.hi[li], A.chunks[ni])
+                parts_h[ni] = _chunk_reduce_net(
+                    prod.hi[li], A.chunks[ni], A.colmajor
+                )
         return acc + jnp.concatenate(parts_h)[0]
 
     return jax.lax.fori_loop(0, REPS, step, jnp.float32(0))
