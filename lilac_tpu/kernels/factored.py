@@ -137,6 +137,10 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
                 from lilac_tpu.kernels.routed_spmv import maybe_pack_hier
 
                 V, VT = load_routed(paths[0]), load_routed(paths[1])
+                # row-major caches predate the column-major chunk layout
+                # (7.3x on the hier df64 glue): treat as stale, rebuild
+                if V is not None and not getattr(V, "colmajor", False):
+                    V = VT = None
                 z = np.load(meta_path, allow_pickle=False)
                 if V is not None and VT is not None:
                     cont = FactoredNPB(
@@ -188,6 +192,8 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
         if all(_os.path.exists(p) for p in paths):
             try:
                 V, VT = load_routed(paths[0]), load_routed(paths[1])
+                if V is not None and not getattr(V, "colmajor", False):
+                    V = VT = None  # stale row-major cache: rebuild
             except Exception:
                 V = VT = None
         if V is None or VT is None:

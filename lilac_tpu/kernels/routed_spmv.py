@@ -52,12 +52,16 @@ class RoutedMat:
     inv_perm: Optional[jax.Array]
     shape: Tuple[int, int]
     m: int
+    # chunk slot layout: False = row-major (r*K + k), True = column-major
+    # (k*rows_c + r); column-major keeps the df64 row-sum reduction in
+    # rows-minor layouts (see RoutedMatHier.colmajor / df.sum_df0)
+    colmajor: bool = False
 
 
 jax.tree_util.register_dataclass(
     RoutedMat,
     data_fields=["masks", "vals", "inv_perm"],
-    meta_fields=["kinds", "dists", "chunks", "shape", "m"],
+    meta_fields=["kinds", "dists", "chunks", "shape", "m", "colmajor"],
 )
 
 
@@ -93,6 +97,7 @@ def build_routed_csr(
     m: int | None = None,
     sort_rows="auto",
     verbose: bool = False,
+    colmajor: bool = True,
 ) -> RoutedMat:
     """Stage a host CSR matrix as a RoutedMat (single column segment).
 
@@ -134,18 +139,23 @@ def build_routed_csr(
     B = len(chunks)
 
     # vectorized slot assignment: entry e of row r -> (chunk_of[r],
-    # r_local[r] * K_chunk + slot_in_row[e])
+    # row-major r_local*K + slot | column-major slot*rows_c + r_local)
     chunk_of = np.empty(n, dtype=np.int64)
     r_local = np.empty(n, dtype=np.int64)
     k_of_chunk = np.empty(B, dtype=np.int64)
+    rowsc_of_chunk = np.empty(B, dtype=np.int64)
     for b, (i0, rows_c, k_c) in enumerate(chunks):
         chunk_of[order[i0 : i0 + rows_c]] = b
         r_local[order[i0 : i0 + rows_c]] = np.arange(rows_c)
         k_of_chunk[b] = k_c
+        rowsc_of_chunk[b] = rows_c
     rows_rep = np.repeat(np.arange(n), counts)
     slot_in_row = np.arange(len(indices)) - np.repeat(indptr[:-1], counts)
     b_e = chunk_of[rows_rep]
-    t_e = r_local[rows_rep] * k_of_chunk[b_e] + slot_in_row
+    if colmajor:
+        t_e = slot_in_row * rowsc_of_chunk[b_e] + r_local[rows_rep]
+    else:
+        t_e = r_local[rows_rep] * k_of_chunk[b_e] + slot_in_row
 
     idx_all = np.zeros((B, m), dtype=np.int64)
     idx_all[b_e, t_e] = indices
@@ -183,6 +193,7 @@ def build_routed_csr(
         inv_perm=inv,
         shape=tuple(shape),
         m=m,
+        colmajor=colmajor,
     )
 
 
@@ -204,7 +215,7 @@ def routed_spmv(A: RoutedMat, x: jax.Array, *, interpret: bool = False) -> jax.A
         interpret=interpret,
     )
     prod = A.vals * out.reshape(len(A.chunks), A.m)
-    y = _chunk_reduce(prod, A.chunks, A.m)
+    y = _chunk_reduce(prod, A.chunks, A.m, A.colmajor)
     if A.inv_perm is not None:
         from lilac_tpu.kernels.xla import pair_gather
 
@@ -223,19 +234,7 @@ def routed_spmv_df(A: RoutedMat, x: df.DF, *, interpret: bool = False) -> df.DF:
     B = len(A.chunks)
     a = df.DF(A.vals[..., 0], A.vals[..., 1])
     prod = df.mul(a, df.DF(oh.reshape(B, A.m), ol.reshape(B, A.m)))
-    his, los = [], []
-    for c, (rows_c, k_c) in enumerate(A.chunks):
-        t = df.sum_df(
-            df.DF(
-                prod.hi[c, : rows_c * k_c].reshape(rows_c, k_c),
-                prod.lo[c, : rows_c * k_c].reshape(rows_c, k_c),
-            ),
-            axis=1,
-        )
-        his.append(t.hi)
-        los.append(t.lo)
-    hi = jnp.concatenate(his)
-    lo = jnp.concatenate(los)
+    hi, lo = _chunk_reduce_df(prod, A.chunks, A.colmajor)
     if A.inv_perm is not None:
         ys = jnp.stack([hi, lo], axis=-1)
         g = ys[A.inv_perm]
@@ -269,12 +268,14 @@ class RoutedMatSeg:
     shape: Tuple[int, int]
     m: int
     seg_size: int
+    colmajor: bool = False  # see RoutedMat.colmajor
 
 
 jax.tree_util.register_dataclass(
     RoutedMatSeg,
     data_fields=["masks", "vals", "inv_perm"],
-    meta_fields=["kinds", "dists", "chunks", "shape", "m", "seg_size"],
+    meta_fields=["kinds", "dists", "chunks", "shape", "m", "seg_size",
+                 "colmajor"],
 )
 
 
@@ -287,6 +288,7 @@ def build_routed_csr_seg(
     dtype: str = "f32",
     seg_size: int = 1 << 18,
     verbose: bool = False,
+    colmajor: bool = True,
 ) -> RoutedMatSeg:
     """Stage a host CSR as column-segmented routing networks."""
     n, ncol = shape
@@ -349,7 +351,11 @@ def build_routed_csr_seg(
         sel = seg_of == s
         rr = rows_rep[sel]
         b_e = chunk_of[rr]
-        t_e = r_local[rr] * k_of_chunk[b_e] + slot_in_run[sel]
+        if colmajor:
+            rowsc_of = np.array([rc for _, rc, _ in chunks], dtype=np.int64)
+            t_e = slot_in_run[sel] * rowsc_of[b_e] + r_local[rr]
+        else:
+            t_e = r_local[rr] * k_of_chunk[b_e] + slot_in_run[sel]
         idx_all = np.zeros((B, m), dtype=np.int64)
         idx_all[b_e, t_e] = indices[sel] - s * seg_size
         vals = np.zeros((B, m) + dvals.shape[1:], dtype=dvals.dtype)
@@ -382,14 +388,41 @@ def build_routed_csr_seg(
         shape=tuple(shape),
         m=m,
         seg_size=seg_size,
+        colmajor=colmajor,
     )
 
 
-def _chunk_reduce(prod_flat, chunks, m):
+def _chunk_reduce(prod_flat, chunks, m, colmajor=False):
     parts = []
     for c, (rows_c, k_c) in enumerate(chunks):
-        parts.append(jnp.sum(prod_flat[c, : rows_c * k_c].reshape(rows_c, k_c), axis=1))
+        p = prod_flat[c, : rows_c * k_c]
+        if colmajor:
+            parts.append(jnp.sum(p.reshape(k_c, rows_c), axis=0))
+        else:
+            parts.append(jnp.sum(p.reshape(rows_c, k_c), axis=1))
     return jnp.concatenate(parts)
+
+
+def _chunk_reduce_df(prod, chunks, colmajor=False):
+    """df64 single-table ELL row sums -> (hi, lo) concatenated 1D arrays.
+    Column-major chunks reduce over the major axis (df.sum_df0) so no
+    barriered EFT intermediate takes a K-minor tile-padded layout."""
+    his, los = [], []
+    for c, (rows_c, k_c) in enumerate(chunks):
+        ph = prod.hi[c, : rows_c * k_c]
+        pl_ = prod.lo[c, : rows_c * k_c]
+        if colmajor:
+            t = df.sum_df0(
+                df.DF(ph.reshape(k_c, rows_c), pl_.reshape(k_c, rows_c))
+            )
+        else:
+            t = df.sum_df(
+                df.DF(ph.reshape(rows_c, k_c), pl_.reshape(rows_c, k_c)),
+                axis=1,
+            )
+        his.append(t.hi)
+        los.append(t.lo)
+    return jnp.concatenate(his), jnp.concatenate(los)
 
 
 def routed_seg_spmv(A: RoutedMatSeg, x: jax.Array, *, interpret: bool = False) -> jax.Array:
@@ -403,7 +436,10 @@ def routed_seg_spmv(A: RoutedMatSeg, x: jax.Array, *, interpret: bool = False) -
             [xs.reshape(A.m // 128, 128)], A.masks[s], A.kinds[s], A.dists[s],
             interpret=interpret,
         )
-        t = _chunk_reduce(A.vals[s] * out.reshape(len(A.chunks[s]), A.m), A.chunks[s], A.m)
+        t = _chunk_reduce(
+            A.vals[s] * out.reshape(len(A.chunks[s]), A.m),
+            A.chunks[s], A.m, A.colmajor,
+        )
         y = t if y is None else y + t
     from lilac_tpu.kernels.xla import pair_gather
 
@@ -425,18 +461,8 @@ def routed_seg_spmv_df(A: RoutedMatSeg, x: df.DF, *, interpret: bool = False) ->
         B = len(A.chunks[s])
         a = df.DF(A.vals[s][..., 0], A.vals[s][..., 1])
         prod = df.mul(a, df.DF(oh.reshape(B, A.m), ol.reshape(B, A.m)))
-        his, los = [], []
-        for c, (rows_c, k_c) in enumerate(A.chunks[s]):
-            t = df.sum_df(
-                df.DF(
-                    prod.hi[c, : rows_c * k_c].reshape(rows_c, k_c),
-                    prod.lo[c, : rows_c * k_c].reshape(rows_c, k_c),
-                ),
-                axis=1,
-            )
-            his.append(t.hi)
-            los.append(t.lo)
-        t = df.DF(jnp.concatenate(his), jnp.concatenate(los))
+        hi, lo = _chunk_reduce_df(prod, A.chunks[s], A.colmajor)
+        t = df.DF(hi, lo)
         # every segment contributes to every row: compensated df add keeps
         # the (hi, lo) pair non-overlapping across the segment merge
         y = t if y is None else df.add(y, t)
@@ -530,6 +556,7 @@ def save_routed(path: str, M) -> None:
             kv[f"unperm_mask{j}"] = _np.asarray(mk)
         _savez_atomic(path, **kv)
         return
+    kv["colmajor"] = int(M.colmajor)
     if isinstance(M, RoutedMat):
         kv.update(
             masks=_np.asarray(M.masks), vals=_np.asarray(M.vals),
@@ -609,6 +636,8 @@ def load_routed(path: str):
             # no flag and are row-major; both layouts stay loadable
             colmajor=bool(meta.get("colmajor", False)),
         )
+    # pre-colmajor caches carry no flag and are row-major
+    cm = bool(int(z["colmajor"])) if "colmajor" in z.files else False
     if str(z["cls"]) == "RoutedMat":
         inv = z["inv_perm"]
         return RoutedMat(
@@ -617,7 +646,7 @@ def load_routed(path: str):
             dists=tuple(int(d) for d in z["dists"]),
             chunks=tuple((int(a), int(b)) for a, b in z["chunks"]),
             inv_perm=jnp.asarray(inv) if len(inv) else None,
-            shape=shape, m=m,
+            shape=shape, m=m, colmajor=cm,
         )
     nseg = int(z["nseg"])
     return RoutedMatSeg(
@@ -629,7 +658,7 @@ def load_routed(path: str):
             tuple((int(a), int(b)) for a, b in z[f"chunks{s}"]) for s in range(nseg)
         ),
         inv_perm=jnp.asarray(z["inv_perm"]),
-        shape=shape, m=m, seg_size=int(z["seg_size"]),
+        shape=shape, m=m, seg_size=int(z["seg_size"]), colmajor=cm,
     )
 
 

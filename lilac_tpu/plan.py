@@ -129,6 +129,12 @@ class SpmvPlan:
                     # compute with the wrong matrix
                     if self.A is not None and tuple(self.A.shape) != self.shape:
                         self.A = None
+                    # row-major caches predate the column-major chunk
+                    # layout (7.3x on the hier df64 glue): rebuild
+                    if self.A is not None and not getattr(
+                        self.A, "colmajor", False
+                    ):
+                        self.A = None
             if self.A is None:
                 if hier:
                     from lilac_tpu.config import cfg as _cfg

@@ -239,6 +239,41 @@ def test_routed_hier_spmv_df_matches_oracle(rng):
     np.testing.assert_allclose(y, A @ x, rtol=1e-13, atol=1e-13)
 
 
+def test_routed_single_table_colmajor_layouts_agree(rng):
+    """RoutedMat / RoutedMatSeg row-major vs column-major chunk layouts
+    compute the same product (df64 exact to 1e-13 vs the f64 oracle)."""
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed_spmv as rs
+    from lilac_tpu.ops import dfloat as df
+
+    A = _random_csr_spread(rng, 900, 1000, 5.0)
+    x = rng.normal(size=A.shape[1])
+    want = A @ x
+    for cm in (False, True):
+        M = rs.build_routed_csr(
+            A.indptr, A.indices, A.data, A.shape, dtype="df64", colmajor=cm
+        )
+        assert M.colmajor is cm
+        y = df.to_f64(rs.routed_spmv_df(M, df.from_f64(x), interpret=True))
+        np.testing.assert_allclose(y, want, rtol=1e-13, atol=1e-13)
+        Ms = rs.build_routed_csr_seg(
+            A.indptr, A.indices, A.data, A.shape, dtype="df64",
+            seg_size=1024, colmajor=cm,
+        )
+        ys = df.to_f64(
+            rs.routed_seg_spmv_df(Ms, df.from_f64(x), interpret=True)
+        )
+        np.testing.assert_allclose(ys, want, rtol=1e-13, atol=1e-13)
+        Mf = rs.build_routed_csr(
+            A.indptr, A.indices, A.data, A.shape, dtype="f32", colmajor=cm
+        )
+        yf = np.asarray(
+            rs.routed_spmv(Mf, jnp.asarray(x, jnp.float32), interpret=True)
+        )
+        np.testing.assert_allclose(yf, want, rtol=2e-4, atol=2e-4)
+
+
 def test_routed_hier_colmajor_layouts_agree(rng):
     """Row-major and column-major chunk layouts are the same operator.
 
