@@ -65,7 +65,10 @@ BASELINE_S = {
 # cold. Round 3's driver run (BENCH_r03.json rc=1) died with nothing
 # banked because the first routed rung's cold plan-build + remote compile
 # outran the whole 480 s budget.
-WARM_WALL_S = {"A0": 12.0, "A": 15.0, "C": 55.0, "D": 450.0}
+WARM_WALL_S = {"A0": 12.0, "A": 15.0, "C": 55.0, "D": 550.0}
+# Class D's warm wall is dominated by the ~2 GB plan-cache upload through
+# the axon tunnel (~300 s at the measured ~10 MB/s), not the 199 s solve;
+# under the default 480 s budget the ladder correctly stops at C.
 
 _best = None  # best completed result line (dict)
 _phase = "startup"  # what the run was doing when/if the watchdog fires

@@ -66,6 +66,14 @@ KNOBS = (
          "net-batched pallas grids (one call per pass for the whole "
          "group). Collapses the traced op count ~30x at class-D scale — "
          "set 0 only to fall back to the per-net appliers."),
+    Knob("df_fused", "LILAC_DF_FUSED", bool, False,
+         "Run the df64 multiply+row-sum glue of column-major routed plans "
+         "as fused Pallas kernels (kernels/dfmulred.py) instead of the "
+         "barriered XLA op chain. TPU only. Default off: the per-chunk "
+         "call fan-out multiplies the traced op count by the matvecs per "
+         "dispatch and blew the class-C remote compile budget (measured "
+         "2026-08-20); turn on for few-dispatch workloads until the "
+         "block-table batched variant lands."),
     Knob("steps_per_dispatch", "LILAC_STEPS_PER_DISPATCH", Optional[int], None,
          "NPB CG outer iterations fused per device dispatch (None = "
          "class-dependent auto: whole loop for small classes, chunks for "
@@ -125,6 +133,7 @@ class Config:
     hier_bl: int
     hier_gmax: Optional[int]
     hier_pack: bool
+    df_fused: bool
     steps_per_dispatch: Optional[int]
     factored_segmode: str
     seg_quantile: float

@@ -232,9 +232,10 @@ def routed_spmv_df(A: RoutedMat, x: df.DF, *, interpret: bool = False) -> df.DF:
         interpret=interpret,
     )
     B = len(A.chunks)
-    a = df.DF(A.vals[..., 0], A.vals[..., 1])
-    prod = df.mul(a, df.DF(oh.reshape(B, A.m), ol.reshape(B, A.m)))
-    hi, lo = _chunk_reduce_df(prod, A.chunks, A.colmajor)
+    hi, lo = _mulreduce_df_2d(
+        A.vals, oh.reshape(B, A.m), ol.reshape(B, A.m), A.chunks,
+        A.colmajor, interpret=interpret,
+    )
     if A.inv_perm is not None:
         ys = jnp.stack([hi, lo], axis=-1)
         g = ys[A.inv_perm]
@@ -425,6 +426,27 @@ def _chunk_reduce_df(prod, chunks, colmajor=False):
     return jnp.concatenate(his), jnp.concatenate(los)
 
 
+def _mulreduce_df_2d(vals, oh, ol, chunks, colmajor, *, interpret=False):
+    """df64 mul+row-sum for the [B, m] single-table/seg containers:
+    chunk c is net-row c's leading rows_c*k_c slots. Dispatches to the
+    fused Pallas kernel on TPU col-major plans, else the XLA chain."""
+    from lilac_tpu.kernels.dfmulred import chunk_mulreduce_df, fused_available
+
+    if colmajor and fused_available():
+        his, los = [], []
+        for c, (rows_c, k_c) in enumerate(chunks):
+            h, l_ = chunk_mulreduce_df(
+                vals[c], oh[c], ol[c], ((0, rows_c, k_c),), True,
+                interpret=interpret,
+            )
+            his.append(h)
+            los.append(l_)
+        return jnp.concatenate(his), jnp.concatenate(los)
+    a = df.DF(vals[..., 0], vals[..., 1])
+    prod = df.mul(a, df.DF(oh, ol))
+    return _chunk_reduce_df(prod, chunks, colmajor)
+
+
 def routed_seg_spmv(A: RoutedMatSeg, x: jax.Array, *, interpret: bool = False) -> jax.Array:
     n = A.shape[0]
     y = None
@@ -459,9 +481,10 @@ def routed_seg_spmv_df(A: RoutedMatSeg, x: df.DF, *, interpret: bool = False) ->
             [hs, ls], A.masks[s], A.kinds[s], A.dists[s], interpret=interpret
         )
         B = len(A.chunks[s])
-        a = df.DF(A.vals[s][..., 0], A.vals[s][..., 1])
-        prod = df.mul(a, df.DF(oh.reshape(B, A.m), ol.reshape(B, A.m)))
-        hi, lo = _chunk_reduce_df(prod, A.chunks[s], A.colmajor)
+        hi, lo = _mulreduce_df_2d(
+            A.vals[s], oh.reshape(B, A.m), ol.reshape(B, A.m), A.chunks[s],
+            A.colmajor, interpret=interpret,
+        )
         t = df.DF(hi, lo)
         # every segment contributes to every row: compensated df add keeps
         # the (hi, lo) pair non-overlapping across the segment merge
@@ -1076,11 +1099,14 @@ def _routed_hier_spmv_packed_df(
             (ph, pl_), grp.pass_meta, grp.pass_masks, A.bl, interpret=interpret
         )
         Ng = len(grp.net_ids)
-        a = df.DF(grp.vals[..., 0], grp.vals[..., 1])
-        prod = df.mul(a, df.DF(oh.reshape(Ng, A.m), ol.reshape(Ng, A.m)))
+        ohr = oh.reshape(Ng, A.m)
+        olr = ol.reshape(Ng, A.m)
+        from lilac_tpu.kernels.dfmulred import chunk_mulreduce_df
+
         for li, ni in enumerate(grp.net_ids):
-            parts_h[ni], parts_l[ni] = _chunk_reduce_net_df(
-                df.DF(prod.hi[li], prod.lo[li]), A.chunks[ni], A.colmajor
+            parts_h[ni], parts_l[ni] = chunk_mulreduce_df(
+                grp.vals[li], ohr[li], olr[li], A.chunks[ni], A.colmajor,
+                interpret=interpret,
             )
     yh = jnp.concatenate(parts_h)
     yl = jnp.concatenate(parts_l)
@@ -1103,11 +1129,14 @@ def routed_hier_spmv_df(A, x: df.DF, *, interpret: bool = False):
     ph = _plane(x.hi, A.m)
     pl_ = _plane(x.lo, A.m)
     his, los = [], []
+    from lilac_tpu.kernels.dfmulred import chunk_mulreduce_df
+
     for net, vals, chlist in zip(A.nets, A.vals, A.chunks):
         oh, ol = hier_net_apply(net, (ph, pl_), A.bl, interpret=interpret)
-        a = df.DF(vals[..., 0], vals[..., 1])
-        prod = df.mul(a, df.DF(oh.reshape(A.m), ol.reshape(A.m)))
-        h, l_ = _chunk_reduce_net_df(prod, chlist, A.colmajor)
+        h, l_ = chunk_mulreduce_df(
+            vals, oh.reshape(A.m), ol.reshape(A.m), chlist, A.colmajor,
+            interpret=interpret,
+        )
         his.append(h)
         los.append(l_)
     yh = jnp.concatenate(his)
