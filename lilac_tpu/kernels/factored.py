@@ -98,11 +98,20 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
         import jax as _jax
 
         mode = "routed" if _jax.default_backend() != "cpu" else "single"
+        # class E exceeds device memory fully routed: the V+VT hier plans
+        # measure 17.1 GB against the v5e's 16 GB HBM (masks are ~76% of
+        # plan bytes). The mixed mode keeps V routed (8.5 GB) and runs
+        # VT as a single-segment gather — the j-space sigma relabel means
+        # VT's output needs no un-permute either way. (The structural fix
+        # — applying V's Beneš REVERSED with add-merges so VT shares V's
+        # masks — would halve plan bytes at ~1.5x stage cost; future.)
+        if mode == "routed" and n > (1 << 21):
+            mode = "mixed"
     use_scan = mode == "scan"
     squant = conf.seg_quantile
 
     paths = meta_path = None
-    if mode == "routed":
+    if mode in ("routed", "mixed"):
         from lilac_tpu.kernels.routed_spmv import load_routed
 
         cache_dir = conf.resolved_data_dir()
@@ -129,7 +138,9 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
         meta_path = _os.path.join(
             cache_dir, f"routed2_{cls.name}_{dtype}_meta{tag}.npz"
         )
-        if all(_os.path.exists(p) for p in paths + [meta_path]):
+        if mode == "routed" and all(
+            _os.path.exists(p) for p in paths + [meta_path]
+        ):
             # full cache hit: the sidecar carries the already-permuted s
             # and nnz_eff, so the (minutes at class D/E) makea triple
             # regeneration is skipped entirely
@@ -157,7 +168,7 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
     pos_j = ivc - 1
 
     sigma_i = None
-    if mode == "routed":
+    if mode in ("routed", "mixed"):
         # Run the whole solve in sigma-space: relabel the j (row/column)
         # space by descending V-column multiplicity so VT's rows are
         # already length-sorted and its per-matvec un-permute network
@@ -181,7 +192,37 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
         rows_i = rank_i[rows_i]
     v_ip, v_ix, v_v = coo_to_csr_arrays(rows_i, pos_j, vc, (n, n), sum_duplicates=False)
     t_ip, t_ix, t_v = coo_to_csr_arrays(pos_j, rows_i, vc, (n, n), sum_duplicates=False)
-    if mode == "routed":
+    if mode == "mixed":
+        # V routed (disk-cached hier plan), VT single-segment gather:
+        # together they fit HBM where two hier plans do not (class E).
+        from lilac_tpu.kernels.routed_spmv import (
+            build_routed_csr_hier,
+            load_routed,
+            maybe_pack_hier,
+            save_routed,
+        )
+
+        V = None
+        if _os.path.exists(paths[0]):
+            try:
+                V = load_routed(paths[0])
+                if V is not None and not getattr(V, "colmajor", False):
+                    V = None
+            except Exception:
+                V = None
+        if V is None:
+            V = build_routed_csr_hier(
+                v_ip, v_ix, v_v, (n, n), dtype=dtype, bl=conf.hier_bl,
+                verbose=True,
+            )
+            save_routed(paths[0], V)
+        V = maybe_pack_hier(V)
+        # VT rows are the sigma-sorted j space: already length-sorted, so
+        # the bucketed layout's output permutation is the identity
+        VT = csr_to_seg_bucket_ell(
+            t_ip, t_ix, to_vals(t_v), (n, n), seg_size=max(SEG_SIZE, n)
+        )
+    elif mode == "routed":
         from lilac_tpu.kernels.routed_spmv import (
             build_routed_csr,
             load_routed,
