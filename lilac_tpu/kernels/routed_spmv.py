@@ -617,25 +617,31 @@ def load_routed(path: str):
             return x
 
         meta = _json.loads(str(z["meta"]))
+        # hier masks/vals stay HOST-side numpy here: pack_hier stacks on
+        # host and uploads each stacked pass once. Loading straight to
+        # device then packing held TWO full copies in HBM (per-net +
+        # stacked) — an 8.5 GB plan OOMed a 16 GB chip during class-E
+        # staging (2026-08-20). maybe_pack_hier uploads the non-packed
+        # path instead.
         nets = []
         vals = []
         for i, npass in enumerate(meta["nets_npass"]):
             nets.append(
                 HierNet(
                     pass_masks=tuple(
-                        jnp.asarray(z[f"net{i}_mask{j}"]) for j in range(npass)
+                        _np.asarray(z[f"net{i}_mask{j}"]) for j in range(npass)
                     ),
                     pass_meta=detuple(meta["nets_meta"][i]),
                 )
             )
-            vals.append(jnp.asarray(z[f"vals{i}"]))
+            vals.append(_np.asarray(z[f"vals{i}"]))
         if meta["unperm_meta"] is None:
             unperm = None
         else:
             nup = len(detuple(meta["unperm_meta"]))
             unperm = HierNet(
                 pass_masks=tuple(
-                    jnp.asarray(z[f"unperm_mask{j}"]) for j in range(nup)
+                    _np.asarray(z[f"unperm_mask{j}"]) for j in range(nup)
                 ),
                 pass_meta=detuple(meta["unperm_meta"]),
             )
@@ -831,8 +837,16 @@ def pack_hier(M: RoutedMatHier) -> RoutedMatHierP:
             HierGroup(pass_masks=stacked, vals=vals, pass_meta=key,
                       net_ids=tuple(ids))
         )
+    unperm = M.unperm
+    if unperm is not None:
+        # load_routed stages hier masks host-side; upload the un-permute
+        # net here so matvecs never feed numpy leaves into jit
+        unperm = HierNet(
+            pass_masks=tuple(jnp.asarray(m) for m in unperm.pass_masks),
+            pass_meta=unperm.pass_meta,
+        )
     return RoutedMatHierP(
-        groups=tuple(groups), unperm=M.unperm, chunks=M.chunks,
+        groups=tuple(groups), unperm=unperm, chunks=M.chunks,
         shape=M.shape, m=M.m, m_out=M.m_out, bl=M.bl, n_nz=M.n_nz,
         colmajor=M.colmajor,
     )
@@ -840,11 +854,40 @@ def pack_hier(M: RoutedMatHier) -> RoutedMatHierP:
 
 def maybe_pack_hier(M):
     """Pack hier containers when the (default-on) LILAC_HIER_PACK knob is
-    set; pass anything else through unchanged."""
+    set; pass anything else through unchanged. Hier containers from
+    load_routed stage masks/vals as host numpy (see load_routed); the
+    non-packed branch uploads them here so both paths end device-side
+    with exactly one HBM copy."""
     from lilac_tpu.config import cfg
 
-    if isinstance(M, RoutedMatHier) and cfg().hier_pack:
-        return pack_hier(M)
+    if isinstance(M, RoutedMatHier):
+        if cfg().hier_pack:
+            return pack_hier(M)
+        leaves = jax.tree_util.tree_leaves((M.nets, M.vals, M.unperm))
+        if all(isinstance(x, jax.Array) for x in leaves):
+            return M  # already device-side (fresh build): identity
+        return RoutedMatHier(
+            nets=tuple(
+                HierNet(
+                    pass_masks=tuple(jnp.asarray(m) for m in net.pass_masks),
+                    pass_meta=net.pass_meta,
+                )
+                for net in M.nets
+            ),
+            vals=tuple(jnp.asarray(v) for v in M.vals),
+            unperm=(
+                None
+                if M.unperm is None
+                else HierNet(
+                    pass_masks=tuple(
+                        jnp.asarray(m) for m in M.unperm.pass_masks
+                    ),
+                    pass_meta=M.unperm.pass_meta,
+                )
+            ),
+            chunks=M.chunks, shape=M.shape, m=M.m, m_out=M.m_out, bl=M.bl,
+            n_nz=M.n_nz, colmajor=M.colmajor,
+        )
     return M
 
 
