@@ -571,3 +571,67 @@ def _seg_bucket_multiseg(indptr, indices, data, shape, seg_size, nseg,
         seg_size=seg_size,
         identity_perm=True,
     )
+
+
+def csr_sorted_to_jag_ellt(
+    indptr, indices, data_pair, shape, *, max_buckets: int = 6
+):
+    """Stage a length-SORTED CSR (descending row counts) as JagELLT.
+
+    data_pair: [nnz, 2] (hi, lo) f32 split values (df.split_f64_np).
+    Buckets are contiguous row ranges chosen greedily: a bucket extends
+    while counts stay >= 3/4 of its leading (max) count, so slot padding
+    stays tight (~1.1-1.3x nnz) with at most max_buckets lax.scan bodies
+    per matvec. Zero-count rows (sorted to the tail) are dropped; the
+    kernel zero-pads their outputs.
+    """
+    import numpy as np
+
+    from lilac_tpu.formats.sparse import JagELLT
+
+    n = shape[0]
+    counts = np.diff(indptr).astype(np.int64)
+    assert (np.diff(counts) <= 0).all(), "rows must be length-sorted"
+    n_nz = int(np.searchsorted(-counts, 0, side="left"))
+
+    bounds = []
+    i = 0
+    while i < n_nz:
+        K = int(counts[i])
+        if len(bounds) + 1 == max_buckets:
+            j = n_nz  # last bucket takes the tail at its leading K
+        else:
+            j = int(np.searchsorted(-counts, -max(1, (3 * K) // 4),
+                                    side="right"))
+            j = max(j, i + 1)
+        bounds.append((i, j, K))
+        i = j
+
+    dh, dl, ix, rc = [], [], [], []
+    for (i0, i1, K) in bounds:
+        rows_b = i1 - i0
+        vh = np.zeros((K, rows_b), dtype=np.float32)
+        vl = np.zeros((K, rows_b), dtype=np.float32)
+        ii = np.zeros((K, rows_b), dtype=np.int32)
+        lo_e, hi_e = int(indptr[i0]), int(indptr[i1])
+        cnt = counts[i0:i1]
+        r_e = np.repeat(np.arange(rows_b), cnt)
+        k_e = np.arange(hi_e - lo_e) - np.repeat(
+            indptr[i0:i1] - lo_e, cnt
+        )
+        vh[k_e, r_e] = data_pair[lo_e:hi_e, 0]
+        vl[k_e, r_e] = data_pair[lo_e:hi_e, 1]
+        ii[k_e, r_e] = indices[lo_e:hi_e]
+        dh.append(vh)
+        dl.append(vl)
+        ix.append(ii)
+        rc.append(rows_b)
+    import jax.numpy as jnp
+
+    return JagELLT(
+        data_hi=tuple(jnp.asarray(a) for a in dh),
+        data_lo=tuple(jnp.asarray(a) for a in dl),
+        indices=tuple(jnp.asarray(a) for a in ix),
+        shape=tuple(shape),
+        row_counts=tuple(rc),
+    )

@@ -279,3 +279,33 @@ class SegBucketELL:
     parts: tuple
     seg_size: int
     identity_perm: bool = False  # original row order kept (uniform rows)
+
+
+@partial(
+    _register,
+    data_fields=("data_hi", "data_lo", "indices"),
+    meta_fields=("shape", "row_counts"),
+)
+@dataclasses.dataclass(frozen=True)
+class JagELLT:
+    """Jagged-diagonal transposed ELL for length-SORTED rows (df64 values).
+
+    Bucket b covers the contiguous row range [r0_b, r0_b + rows_b) and
+    stores its entries K-major: data_hi[b]/data_lo[b]/indices[b] are
+    [K_b, rows_b] arrays — the ROW axis sits on the 128-lane tile, so a
+    df64 column sweep (lax.scan over k) keeps every barriered EFT
+    intermediate a [rows_b]-shaped array. The row-major [rows, K, 2]
+    alternative tile-pads its K- and 2-minor dims; at class-E VT scale
+    (9M x 27) that demanded 32 GB of compile-time HBM (2026-08-20).
+
+    Reference analogue: jagged-diagonal storage (JDS) as used by vector
+    machines; the reference suite's ELLPACK variants
+    (/root/reference/libspmv) never need it because CUDA gathers are
+    row-major-friendly — the TPU's tiled layouts are not.
+    """
+
+    data_hi: tuple  # per bucket [K_b, rows_b] f32
+    data_lo: tuple  # per bucket [K_b, rows_b] f32
+    indices: tuple  # per bucket [K_b, rows_b] int32
+    shape: Tuple[int, int]
+    row_counts: tuple  # per bucket rows_b (static; sum >= shape[0])

@@ -217,11 +217,19 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
             )
             save_routed(paths[0], V)
         V = maybe_pack_hier(V)
-        # VT rows are the sigma-sorted j space: already length-sorted, so
-        # the bucketed layout's output permutation is the identity
-        VT = csr_to_seg_bucket_ell(
-            t_ip, t_ix, to_vals(t_v), (n, n), seg_size=max(SEG_SIZE, n)
-        )
+        # VT rows are the sigma-sorted j space: already length-sorted.
+        # df64 uses the jagged-diagonal transposed layout (column sweeps
+        # keep every barriered EFT intermediate 1D — the row-major
+        # [rows, K, 2] form blew compile-time HBM at class-E size);
+        # plain floats keep the bucketed gather layout.
+        if dtype == "df64":
+            from lilac_tpu.formats.convert import csr_sorted_to_jag_ellt
+
+            VT = csr_sorted_to_jag_ellt(t_ip, t_ix, to_vals(t_v), (n, n))
+        else:
+            VT = csr_to_seg_bucket_ell(
+                t_ip, t_ix, to_vals(t_v), (n, n), seg_size=max(SEG_SIZE, n)
+            )
     elif mode == "routed":
         from lilac_tpu.kernels.routed_spmv import (
             build_routed_csr,
@@ -323,8 +331,15 @@ def _spmv_any_df(A, x):
         routed_seg_spmv_df,
         routed_spmv_df,
     )
-    from lilac_tpu.kernels.xla import seg_bucket_ell_spmv_df, seg_ell_scan_spmv_df
+    from lilac_tpu.formats.sparse import JagELLT
+    from lilac_tpu.kernels.xla import (
+        jag_ellt_spmv_df,
+        seg_bucket_ell_spmv_df,
+        seg_ell_scan_spmv_df,
+    )
 
+    if isinstance(A, JagELLT):
+        return jag_ellt_spmv_df(A, x)
     if isinstance(A, RoutedMat):
         return routed_spmv_df(A, x)
     if isinstance(A, (RoutedMatHier, RoutedMatHierP)):

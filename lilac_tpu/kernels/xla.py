@@ -325,3 +325,42 @@ def seg_ell_scan_spmv_df(A: SegELLScan, x: df.DF) -> df.DF:
 
 register_kernel("xla_segscan", seg_ell_scan_spmv, SegELLScan)
 register_kernel("xla_segscan_df", seg_ell_scan_spmv_df, SegELLScan, dfloat=True)
+
+
+# ---------------------------------------------------------------------------
+# JagELLT — jagged-diagonal transposed ELL (df64, sorted rows)
+# ---------------------------------------------------------------------------
+
+from lilac_tpu.formats.sparse import JagELLT  # noqa: E402
+
+
+def jag_ellt_spmv_df(A: JagELLT, x: df.DF) -> df.DF:
+    """df64 SpMV as per-bucket column sweeps (lax.scan over the jagged
+    diagonals): every barriered EFT intermediate is a [rows_b] 1D array,
+    so there is no K-minor tile padding at any scale (the [rows, K, 2]
+    row-major form demanded 32 GB of compile-time HBM at class-E VT
+    size). One pair-gather per diagonal serves both df words."""
+    xs = jnp.stack([x.hi, x.lo], axis=-1)
+
+    def body(acc, op):
+        vhk, vlk, ik = op
+        g = xs[ik]
+        t = df.mul(df.DF(vhk, vlk), df.DF(g[..., 0], g[..., 1]))
+        r = df.add(df.DF(acc[0], acc[1]), t)
+        return (r.hi, r.lo), None
+
+    outs_h, outs_l = [], []
+    for b in range(len(A.row_counts)):
+        z = jnp.zeros(A.row_counts[b], jnp.float32)
+        (h, l_), _ = jax.lax.scan(
+            body, (z, z), (A.data_hi[b], A.data_lo[b], A.indices[b])
+        )
+        outs_h.append(h)
+        outs_l.append(l_)
+    hi = jnp.concatenate(outs_h) if len(outs_h) > 1 else outs_h[0]
+    lo = jnp.concatenate(outs_l) if len(outs_l) > 1 else outs_l[0]
+    pad = A.shape[0] - hi.shape[0]
+    if pad > 0:  # zero-count tail rows
+        hi = jnp.pad(hi, (0, pad))
+        lo = jnp.pad(lo, (0, pad))
+    return df.DF(hi[: A.shape[0]], lo[: A.shape[0]])

@@ -402,3 +402,32 @@ def test_plan_bf16_policy(small_csr, rng, kernel):
     y = plan.vec_out(plan.matvec(plan.vec_in(x)))
     # bf16 has ~8 significand bits; gathered-sum error is a few ulps
     np.testing.assert_allclose(y, y_ref, rtol=0.05, atol=0.05)
+
+
+def test_jag_ellt_df_matches_oracle():
+    """JagELLT column-sweep df64 SpMV == f64 oracle on a sorted CSR with
+    zero-count tail rows and multiple jagged buckets."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from lilac_tpu.formats.convert import csr_sorted_to_jag_ellt
+    from lilac_tpu.kernels.xla import jag_ellt_spmv_df
+    from lilac_tpu.ops import dfloat as df
+
+    rng = np.random.default_rng(3)
+    n = 700
+    counts = np.sort(rng.integers(0, 40, size=n))[::-1]
+    counts[-5:] = 0  # zero tail
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    indices = rng.integers(0, n, size=int(indptr[-1])).astype(np.int64)
+    data = rng.standard_normal(len(indices))
+    A = sp.csr_matrix((data, indices, indptr), shape=(n, n))
+
+    M = csr_sorted_to_jag_ellt(
+        indptr, indices, df.split_f64_np(data), (n, n), max_buckets=4
+    )
+    assert len(M.row_counts) <= 4
+    x = rng.standard_normal(n)
+    y = df.to_f64(jag_ellt_spmv_df(M, df.from_f64(x)))
+    np.testing.assert_allclose(y, A @ x, rtol=1e-12, atol=1e-13)
