@@ -66,6 +66,13 @@ KNOBS = (
          "net-batched pallas grids (one call per pass for the whole "
          "group). Collapses the traced op count ~30x at class-D scale — "
          "set 0 only to fall back to the per-net appliers."),
+    Knob("hier_group_max", "LILAC_HIER_GROUP_MAX", Optional[int], None,
+         "Cap on nets per packed hier schedule-group (None = unlimited). "
+         "Each pass over a group materializes [Ng, m] planes in+out; at "
+         "class-E scale (15 nets x 2^24 slots) the unlimited group's "
+         "~4 GB of pass intermediates pushed peak HBM over the edge — "
+         "smaller groups trade a few more dispatches for bounded "
+         "intermediates."),
     Knob("df_fused", "LILAC_DF_FUSED", bool, False,
          "Run the df64 multiply+row-sum glue of column-major routed plans "
          "as fused Pallas kernels (kernels/dfmulred.py) instead of the "
@@ -133,6 +140,7 @@ class Config:
     hier_bl: int
     hier_gmax: Optional[int]
     hier_pack: bool
+    hier_group_max: Optional[int]
     df_fused: bool
     steps_per_dispatch: Optional[int]
     factored_segmode: str

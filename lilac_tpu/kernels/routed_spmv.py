@@ -814,7 +814,12 @@ jax.tree_util.register_dataclass(
 
 def pack_hier(M: RoutedMatHier) -> RoutedMatHierP:
     """Group nets by identical pass schedule and stack their masks/vals on
-    a leading net axis (host-side stack, then one device put per pass)."""
+    a leading net axis (host-side stack, then one device put per pass).
+    LILAC_HIER_GROUP_MAX caps nets per group: each pass materializes
+    [Ng, m] planes in+out, so bounding Ng bounds the intermediates."""
+    from lilac_tpu.config import cfg as _cfg
+
+    gmax_nets = _cfg().hier_group_max
     order: list = []
     by_key: dict = {}
     for i, net in enumerate(M.nets):
@@ -823,9 +828,16 @@ def pack_hier(M: RoutedMatHier) -> RoutedMatHierP:
             by_key[key] = []
             order.append(key)
         by_key[key].append(i)
-    groups = []
+    id_lists = []
     for key in order:
         ids = by_key[key]
+        if gmax_nets is None or len(ids) <= gmax_nets:
+            id_lists.append((key, ids))
+        else:
+            for g0 in range(0, len(ids), gmax_nets):
+                id_lists.append((key, ids[g0 : g0 + gmax_nets]))
+    groups = []
+    for key, ids in id_lists:
         stacked = tuple(
             jnp.asarray(
                 np.stack([np.asarray(M.nets[i].pass_masks[j]) for i in ids])
