@@ -165,6 +165,122 @@ def routed_apply(
     return out if isinstance(out, tuple) else (out,)
 
 
+_INV_KIND = {"shift": "shiftl", "shiftl": "shift", "xor": "xor"}
+
+
+def _routed_kernel_t(kinds, dists, R, nplanes, *refs):
+    """Adjoint (scatter-add) of _routed_kernel: runs the SAME bit-packed
+    masks in REVERSE stage order with each stage's adjoint update
+
+        u' = (1 - m) * u + partner_inv(m * u)
+
+    (forward: out = where(m, partner(x), x); an input feeding several
+    outputs — a broadcast — becomes an ADD of their cotangents, which
+    is exactly what the sum of the two terms computes). partner_inv
+    swaps shift<->shiftl and keeps xor (involutive)."""
+    x_refs = refs[:nplanes]
+    masks_hbm = refs[nplanes]
+    out_refs = refs[nplanes + 1 : nplanes + 1 + nplanes]
+    scratch = refs[-2]
+    sems = refs[-1]
+    S = len(kinds)
+    b = pl.program_id(0)
+
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    laneid = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+
+    def mask_dma(slot, p):
+        return pltpu.make_async_copy(
+            masks_hbm.at[b, p], scratch.at[slot], sems.at[slot]
+        )
+
+    planes = [r[:].reshape(R, 128) for r in x_refs]
+    first_p = (S - 1) // 8
+    if S:
+        mask_dma(first_p % 2, first_p).start()
+    plane_bits = None
+    for s in range(S - 1, -1, -1):
+        p, bit = divmod(s, 8)
+        if s == S - 1 or bit == 7:
+            if p - 1 >= 0:
+                mask_dma((p - 1) % 2, p - 1).start()
+            mask_dma(p % 2, p).wait()
+            plane_bits = scratch[p % 2].astype(jnp.int32)
+        mask = ((plane_bits >> bit) & 1) != 0
+        kind, d = _INV_KIND[kinds[s]], dists[s]
+        zero = jnp.zeros((R, 128), planes[0].dtype)
+        nxt = []
+        for y in planes:
+            moved = jnp.where(mask, y, zero)
+            nxt.append(
+                jnp.where(mask, zero, y)
+                + _stage_partner(moved, kind, d, R, rowid, laneid)
+            )
+        planes = nxt
+    for o, y in zip(out_refs, planes):
+        if len(o.shape) == 3:
+            o[0] = y
+        else:
+            o[:] = y
+
+
+def routed_apply_t(
+    x_planes: Sequence[jax.Array],
+    masks: jax.Array,
+    kinds: Tuple[str, ...],
+    dists: Tuple[int, ...],
+    *,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Adjoint of routed_apply: y = G^T u for the same switch masks.
+
+    x_planes are per-NET [B, R, 128] cotangent planes (the forward's
+    output space); returns [B, R, 128] planes in the forward's input
+    space. Shares the masks with the forward — the transpose costs ZERO
+    extra plan bytes (the reference keeps a second CSC copy per matrix
+    for A^T products, e.g. SparseBench's BiCG; here the network IS its
+    own adjoint machine)."""
+    B, P, R, _ = masks.shape
+    S = len(kinds)
+    assert P == (S + 7) // 8 and S == len(dists)
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    nplanes = len(x_planes)
+    dtype = x_planes[0].dtype
+    kern = functools.partial(
+        _routed_kernel_t, tuple(kinds), tuple(dists), R, nplanes
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, R, 128), dtype) for _ in range(nplanes)
+        ),
+        in_specs=[
+            pl.BlockSpec(
+                (1, R, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(nplanes)
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tuple(
+            pl.BlockSpec(
+                (1, R, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(nplanes)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, 128), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(*x_planes, masks)
+    return out if isinstance(out, tuple) else (out,)
+
+
 def masks_device(net) -> jax.Array:
     """Host masks [S, B, m] bool -> device bit-packed [B, P, R, 128] int8
     (bit s%8 of plane s//8 = stage s; see routed_apply)."""

@@ -243,6 +243,43 @@ def routed_spmv_df(A: RoutedMat, x: df.DF, *, interpret: bool = False) -> df.DF:
     return df.DF(hi[: A.shape[0]], lo[: A.shape[0]])
 
 
+def routed_spmv_adj_t(
+    A: RoutedMat, u: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """y = Aᵀ @ u through the FORWARD plan's own masks (f32).
+
+    The gather network G is run in reverse with add-merges
+    (rd.routed_apply_t): Aᵀ = Gᵀ·diag(vals)·Rᵀ, where Rᵀ expands row
+    cotangents back to their chunk slots (a tile/repeat — no data
+    motion) and Gᵀ scatter-adds slots into x-space. The transpose
+    therefore costs ZERO extra plan bytes — no second network, no CSC
+    copy (the reference stages a separate transposed operator for
+    BiCG's Aᵀp, SparseBench iter.f). df64 adjoints need compensated
+    merge adds in-kernel and are future work; this is the f32 path.
+    """
+    n, ncol = A.shape
+    B = len(A.chunks)
+    if A.inv_perm is not None:
+        us = jnp.zeros((n,), u.dtype).at[A.inv_perm].set(u[:n])
+    else:
+        us = u[:n]
+    slots = []
+    off = 0
+    for (rows_c, k_c) in A.chunks:
+        uc = us[off : off + rows_c]
+        seg = jnp.tile(uc, k_c) if A.colmajor else jnp.repeat(uc, k_c)
+        slots.append(jnp.pad(seg, (0, A.m - rows_c * k_c)))
+        off += rows_c
+    sl = jnp.stack(slots)  # [B, m] in slot order
+    prod = (A.vals * sl).astype(u.dtype)
+    planes = prod.reshape(B, A.m // 128, 128)
+    (out,) = rd.routed_apply_t(
+        [planes], A.masks, A.kinds, A.dists, interpret=interpret
+    )
+    y = out.reshape(B, A.m).sum(axis=0)
+    return y[:ncol]
+
+
 # ---------------------------------------------------------------------------
 # column-segmented routing (matrices whose x exceeds one network table)
 # ---------------------------------------------------------------------------

@@ -547,3 +547,31 @@ def test_hier_packed_matches_legacy_and_dense(rng, monkeypatch):
     assert isinstance(maybe_pack_hier(M), type(P))
     monkeypatch.setenv("LILAC_HIER_PACK", "0")
     assert maybe_pack_hier(M) is M
+
+
+def test_routed_adjoint_transpose_matches_oracle(rng):
+    """routed_spmv_adj_t == A.T @ u: the forward plan's masks run in
+    reverse with add-merges (zero extra plan bytes for the transpose)."""
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed_spmv as rs
+
+    for sort_rows in (False, True):
+        A = _random_csr_spread(rng, 900, 1000, 5.0)
+        M = rs.build_routed_csr(
+            A.indptr, A.indices, A.data, A.shape, dtype="f32",
+            sort_rows=sort_rows,
+        )
+        u = rng.normal(size=A.shape[0]).astype(np.float32)
+        y = np.asarray(rs.routed_spmv_adj_t(M, jnp.asarray(u), interpret=True))
+        want = A.T @ u.astype(np.float64)
+        np.testing.assert_allclose(y, want, rtol=2e-4, atol=2e-4)
+        # and the row-major layout agrees too
+        Mr = rs.build_routed_csr(
+            A.indptr, A.indices, A.data, A.shape, dtype="f32",
+            sort_rows=sort_rows, colmajor=False,
+        )
+        yr = np.asarray(
+            rs.routed_spmv_adj_t(Mr, jnp.asarray(u), interpret=True)
+        )
+        np.testing.assert_allclose(yr, want, rtol=2e-4, atol=2e-4)
