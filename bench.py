@@ -65,10 +65,52 @@ BASELINE_S = {
 # cold. Round 3's driver run (BENCH_r03.json rc=1) died with nothing
 # banked because the first routed rung's cold plan-build + remote compile
 # outran the whole 480 s budget.
-WARM_WALL_S = {"A0": 12.0, "A": 15.0, "C": 55.0, "D": 550.0}
-# Class D's warm wall is dominated by the ~2 GB plan-cache upload through
-# the axon tunnel (~300 s at the measured ~10 MB/s), not the 199 s solve;
-# under the default 480 s budget the ladder correctly stops at C.
+WARM_WALL_S = {"A0": 12.0, "A": 15.0, "B": 25.0, "C": 55.0, "D": 420.0,
+               "E": 3000.0}
+# Class D's warm wall was dominated by the ~2 GB plan-cache upload through
+# the axon tunnel (~10 MB/s); the Beneš-reverse VT (round 5) halves the
+# resident plan to the V side only (~0.9 GB), pulling D's warm wall toward
+# the default 480 s budget. E is never on the ladder (forced runs only).
+
+
+def _fingerprint(quick=True):
+    """3-probe session fingerprint (round-4 verdict weak #8): HBM copy
+    bandwidth, dispatch round-trip latency, and (quick=False) the routed
+    stage throughput. Makes cross-session absolute comparisons mechanical
+    — round 3 measured the same code 231 vs 819 GB/s session-to-session."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    fp = {}
+    try:
+        nbig = 1 << 26  # 256 MB f32
+        v = jnp.zeros(nbig, jnp.float32)
+        cp = jax.jit(lambda a: a + 1.0)
+        cp(v).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            v = cp(v)
+        v.block_until_ready()
+        dt = (time.perf_counter() - t0) / 3
+        fp["hbm_copy_gbps"] = round(2 * nbig * 4 / dt / 1e9, 1)
+        tiny = jnp.zeros(8, jnp.float32)
+        cp(tiny).block_until_ready()
+        t0 = time.perf_counter()
+        reps = 20
+        for _ in range(reps):
+            tiny = cp(tiny)
+        tiny.block_until_ready()
+        fp["dispatch_ms"] = round((time.perf_counter() - t0) / reps * 1e3, 2)
+        if not quick:
+            from lilac_tpu.utils.profiling import measure_stage_roofline
+
+            p = measure_stage_roofline(m=1 << 17, S=48)
+            fp["stage_gelems_s"] = round(p["stage_elems_per_s"] / 1e9, 2)
+    except Exception as e:  # the fingerprint must never cost the run
+        fp["error"] = repr(e)
+    print(f"bench: fingerprint {fp}", file=sys.stderr)
+    return fp
 
 _best = None  # best completed result line (dict)
 _phase = "startup"  # what the run was doing when/if the watchdog fires
@@ -122,13 +164,19 @@ def _run_class(class_name, dtype, kernel, segmode=None):
     from lilac_tpu.workloads import npb_cg
 
     t0 = time.time()
+    prev_segmode = os.environ.get("LILAC_FACTORED_SEGMODE")
     if segmode is not None:
         os.environ["LILAC_FACTORED_SEGMODE"] = segmode
     try:
         res = npb_cg.run(class_name, dtype=dtype, kernel=kernel)
     finally:
         if segmode is not None:
-            os.environ.pop("LILAC_FACTORED_SEGMODE", None)
+            # restore the caller's exported override (round-4 advisor:
+            # a bare pop discarded it for the later rungs of the run)
+            if prev_segmode is None:
+                os.environ.pop("LILAC_FACTORED_SEGMODE", None)
+            else:
+                os.environ["LILAC_FACTORED_SEGMODE"] = prev_segmode
     wall = time.time() - t0
     line = {
         "metric": f"npb_cg_class{res.class_name}_time_to_solution",
@@ -178,10 +226,13 @@ def main():
     _phase = "device-init (axon tunnel)"
     dev = jax.devices()[0]
     print(f"bench: device {dev} up at {_elapsed():.1f}s", file=sys.stderr)
+    _phase = "fingerprint"
+    fp = _fingerprint(quick=True)  # cheap probes only, before any rung
     _phase = "benchmark"
 
     if forced:
         line, _ = _run_class(forced, dtype, kernel)
+        line["fingerprint"] = fp
         ok = line["verified"] or dtype == "f32"
         # always emit the measured line; an unverified df64 run is a
         # correctness failure and says so (not "budget exceeded")
@@ -193,7 +244,8 @@ def main():
     # itself is NOT on the routed ladder: its routed capture is 0.88x (the
     # problem is dispatch-overhead-bound at n=14k) and a later rung always
     # overwrites the banked best, so the slot is better spent reaching C/D.
-    ladder = [("A0", "A", "single"), ("C", "C", None), ("D", "D", None)]
+    ladder = [("A0", "A", "single"), ("B", "B", None), ("C", "C", None),
+              ("D", "D", None)]
     for i, (rung, cls, segmode) in enumerate(ladder):
         try:
             line, wall = _run_class(cls, dtype, kernel, segmode=segmode)
@@ -202,6 +254,7 @@ def main():
             if rung == "A0":
                 continue
             break
+        line["fingerprint"] = fp
         print(f"bench: class {cls} wall {wall:.1f}s -> {line['value']}s "
               f"(x{line['vs_baseline']})", file=sys.stderr)
         # f32 rungs can never pass the 1e-10 zeta check — the f32 allowance

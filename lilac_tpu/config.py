@@ -88,6 +88,19 @@ KNOBS = (
     Knob("factored_segmode", "LILAC_FACTORED_SEGMODE", str, "auto",
          "Layout for the factored NPB operator: auto | routed | scan | "
          "single (auto = routed on accelerators, single on CPU)."),
+    Knob("factored_vt", "LILAC_FACTORED_VT", str, "auto",
+         "How the factored operator computes Vᵀu: 'plan' = stage a "
+         "dedicated VT routed plan (two plans resident), 'adj' = run V's "
+         "network in REVERSE with add-merges (Beneš-reverse transpose; "
+         "zero extra plan bytes — halves hier plan HBM), 'auto' = adj "
+         "for hierarchical classes (n > 2^18, where plan bytes gate "
+         "class E and the class-D upload), plan for single-table."),
+    Knob("sb_transpose", "LILAC_SB_TRANSPOSE", str, "auto",
+         "SparseBench BiCG Aᵀp operator: 'plan' = stage Aᵀ as its own "
+         "forward plan (two plans resident), 'adj' = run the forward "
+         "plan's network in reverse with add-merges (zero extra plan "
+         "bytes, half the plan build/upload), 'auto' = adj for routed "
+         "kernels."),
     Knob("seg_quantile", "LILAC_SEG_QUANTILE", float, 97.0,
          "Row-length percentile defining the uniform slab width of the "
          "scan-accumulated segmented ELL layout."),
@@ -144,6 +157,8 @@ class Config:
     df_fused: bool
     steps_per_dispatch: Optional[int]
     factored_segmode: str
+    factored_vt: str
+    sb_transpose: str
     seg_quantile: float
     autotune_model: Optional[str]
     bench_budget_s: float

@@ -137,6 +137,12 @@ def chunk_mulreduce_df(vals, o_hi, o_lo, chlist, colmajor, *,
     from lilac_tpu.ops import dfloat as df
 
     fused = force_fused if force_fused is not None else fused_available()
+    # even the smallest block (bw=1024) must fit the ~14 MB scoped-VMEM
+    # budget: 4 double-buffered [K, 1024] in-planes — K beyond ~427 would
+    # fail the Mosaic compile with no recourse (round-4 advisor), so such
+    # chunks take the barriered XLA chain instead
+    if fused and any((4 * K * 1024 * 4) * 2 > 14_000_000 for _, _, K in chlist):
+        fused = False
     if not (colmajor and fused):
         a = df.DF(vals[..., 0], vals[..., 1])
         prod = df.mul(a, df.DF(o_hi, o_lo))

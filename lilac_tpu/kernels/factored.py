@@ -98,15 +98,26 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
         import jax as _jax
 
         mode = "routed" if _jax.default_backend() != "cpu" else "single"
-        # class E exceeds device memory fully routed: the V+VT hier plans
-        # measure 17.1 GB against the v5e's 16 GB HBM (masks are ~76% of
-        # plan bytes). The mixed mode keeps V routed (8.5 GB) and runs
-        # VT as a single-segment gather — the j-space sigma relabel means
-        # VT's output needs no un-permute either way. (The structural fix
-        # — applying V's Beneš REVERSED with add-merges so VT shares V's
-        # masks — would halve plan bytes at ~1.5x stage cost; future.)
-        if mode == "routed" and n > (1 << 21):
-            mode = "mixed"
+    # Vᵀ strategy: 'adj' runs V's network in REVERSE with add-merges
+    # (rd.hier_apply_batched_t) — the transpose costs zero extra plan
+    # bytes, so hier classes (D, E) halve their plan HBM/upload. auto =
+    # adj exactly there; single-table classes keep the dedicated VT plan
+    # (small plans, and the dedicated forward schedule has no add-merge
+    # stage cost).
+    vt_mode = conf.factored_vt
+    if vt_mode == "auto":
+        vt_mode = (
+            "adj" if mode in ("routed", "mixed") and n > (1 << 18) else "plan"
+        )
+    if mode == "mixed" and vt_mode == "adj":
+        mode = "routed"  # adj removes the reason mixed existed
+    if mode == "routed" and vt_mode != "adj" and n > (1 << 21):
+        # class E exceeds device memory with TWO hier plans: V+VT measure
+        # 17.1 GB against the v5e's 16 GB HBM (masks are ~76% of plan
+        # bytes). The mixed mode keeps V routed (8.5 GB) and runs VT as a
+        # single-segment gather — the j-space sigma relabel means VT's
+        # output needs no un-permute either way.
+        mode = "mixed"
     use_scan = mode == "scan"
     squant = conf.seg_quantile
 
@@ -138,8 +149,9 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
         meta_path = _os.path.join(
             cache_dir, f"routed2_{cls.name}_{dtype}_meta{tag}.npz"
         )
+        need_paths = [paths[0]] if vt_mode == "adj" else paths
         if mode == "routed" and all(
-            _os.path.exists(p) for p in paths + [meta_path]
+            _os.path.exists(p) for p in need_paths + [meta_path]
         ):
             # full cache hit: the sidecar carries the already-permuted s
             # and nnz_eff, so the (minutes at class D/E) makea triple
@@ -147,15 +159,17 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
             try:
                 from lilac_tpu.kernels.routed_spmv import maybe_pack_hier
 
-                V, VT = load_routed(paths[0]), load_routed(paths[1])
+                V = load_routed(paths[0])
+                VT = None if vt_mode == "adj" else load_routed(paths[1])
                 # row-major caches predate the column-major chunk layout
                 # (7.3x on the hier df64 glue): treat as stale, rebuild
                 if V is not None and not getattr(V, "colmajor", False):
                     V = VT = None
                 z = np.load(meta_path, allow_pickle=False)
-                if V is not None and VT is not None:
+                if V is not None and (VT is not None or vt_mode == "adj"):
                     cont = FactoredNPB(
-                        V=maybe_pack_hier(V), VT=maybe_pack_hier(VT),
+                        V=maybe_pack_hier(V),
+                        VT=None if vt_mode == "adj" else maybe_pack_hier(VT),
                         s=to_dev(z["s"]),
                         d0=to_dev(np.asarray(cls.rcond - cls.shift)),
                     )
@@ -237,18 +251,22 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
             save_routed,
         )
 
+        adj = vt_mode == "adj"
         V = VT = None
-        if all(_os.path.exists(p) for p in paths):
+        need = [paths[0]] if adj else paths
+        if all(_os.path.exists(p) for p in need):
             try:
-                V, VT = load_routed(paths[0]), load_routed(paths[1])
+                V = load_routed(paths[0])
+                VT = None if adj else load_routed(paths[1])
                 if V is not None and not getattr(V, "colmajor", False):
                     V = VT = None  # stale row-major cache: rebuild
             except Exception:
                 V = VT = None
-        if V is None or VT is None:
+        if V is None or (VT is None and not adj):
             if n <= (1 << 18):
                 V = build_routed_csr(v_ip, v_ix, v_v, (n, n), dtype=dtype)
-                VT = build_routed_csr(t_ip, t_ix, t_v, (n, n), dtype=dtype)
+                if not adj:
+                    VT = build_routed_csr(t_ip, t_ix, t_v, (n, n), dtype=dtype)
             else:
                 # beyond one VMEM table: hierarchical networks (outer
                 # stages as butterfly/window passes, no column segments)
@@ -258,14 +276,18 @@ def build_factored(class_name: str, dtype: str = "f64") -> Tuple[FactoredNPB, in
                 V = build_routed_csr_hier(
                     v_ip, v_ix, v_v, (n, n), dtype=dtype, bl=hbl, verbose=True
                 )
-                VT = build_routed_csr_hier(
-                    t_ip, t_ix, t_v, (n, n), dtype=dtype, bl=hbl, verbose=True
-                )
+                if not adj:
+                    VT = build_routed_csr_hier(
+                        t_ip, t_ix, t_v, (n, n), dtype=dtype, bl=hbl,
+                        verbose=True,
+                    )
             save_routed(paths[0], V)
-            save_routed(paths[1], VT)
+            if not adj:
+                save_routed(paths[1], VT)
         from lilac_tpu.kernels.routed_spmv import maybe_pack_hier
 
-        V, VT = maybe_pack_hier(V), maybe_pack_hier(VT)
+        V = maybe_pack_hier(V)
+        VT = None if adj else maybe_pack_hier(VT)
     elif use_scan:
         V = csr_to_seg_ell_scan(
             v_ip, v_ix, to_vals(v_v), (n, n), seg_size=SEG_SIZE, seg_quantile=squant
@@ -351,11 +373,43 @@ def _spmv_any_df(A, x):
     return seg_bucket_ell_spmv_df(A, x)
 
 
+def _spmv_adj_any(A, u):
+    """Vᵀu through V's OWN plan run in reverse (the Beneš-reverse
+    transpose): used when FactoredNPB.VT is None (vt_mode='adj')."""
+    from lilac_tpu.kernels.routed_spmv import (
+        RoutedMat,
+        RoutedMatHier,
+        RoutedMatHierP,
+        routed_hier_spmv_adj_t,
+        routed_spmv_adj_t,
+    )
+
+    if isinstance(A, RoutedMat):
+        return routed_spmv_adj_t(A, u)
+    assert isinstance(A, (RoutedMatHier, RoutedMatHierP)), type(A)
+    return routed_hier_spmv_adj_t(A, u)
+
+
+def _spmv_adj_any_df(A, u):
+    from lilac_tpu.kernels.routed_spmv import (
+        RoutedMat,
+        RoutedMatHier,
+        RoutedMatHierP,
+        routed_hier_spmv_adj_t_df,
+        routed_spmv_adj_t_df,
+    )
+
+    if isinstance(A, RoutedMat):
+        return routed_spmv_adj_t_df(A, u)
+    assert isinstance(A, (RoutedMatHier, RoutedMatHierP)), type(A)
+    return routed_hier_spmv_adj_t_df(A, u)
+
+
 def factored_spmv(A: FactoredNPB, x: jax.Array) -> jax.Array:
     """Plain-float factored product (f32/f64)."""
     t = _spmv_any(A.V, x)
     u = A.s * t
-    y = _spmv_any(A.VT, u)
+    y = _spmv_adj_any(A.V, u) if A.VT is None else _spmv_any(A.VT, u)
     return y + A.d0 * x
 
 
@@ -364,7 +418,7 @@ def factored_spmv_df(A: FactoredNPB, x: df.DF) -> df.DF:
     t = _spmv_any_df(A.V, x)
     s = df.DF(A.s[..., 0], A.s[..., 1])
     u = df.mul(s, t)
-    y = _spmv_any_df(A.VT, u)
+    y = _spmv_adj_any_df(A.V, u) if A.VT is None else _spmv_any_df(A.VT, u)
     d0 = df.DF(A.d0[..., 0], A.d0[..., 1])
     dx = df.mul(df.DF(jnp.broadcast_to(d0.hi, x.hi.shape),
                       jnp.broadcast_to(d0.lo, x.lo.shape)), x)

@@ -168,16 +168,55 @@ def routed_apply(
 _INV_KIND = {"shift": "shiftl", "shiftl": "shift", "xor": "xor"}
 
 
-def _routed_kernel_t(kinds, dists, R, nplanes, *refs):
-    """Adjoint (scatter-add) of _routed_kernel: runs the SAME bit-packed
-    masks in REVERSE stage order with each stage's adjoint update
+def _adj_two_sum(a, b):
+    """Knuth TwoSum, barrier-free: exactly rounded inside Mosaic (no HLO
+    algebraic simplifier there — proven on chip by tools/eft_mosaic_check)
+    and in interpret mode (the Pallas interpreter evaluates primitives
+    individually, so no fusion-level FMA contraction either)."""
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _stage_adj(planes, mask, kind, d, R, rowid, laneid, dfpair):
+    """Adjoint of one forward stage `y' = where(m, partner_kind_d(y), y)`.
+
+    xor stages are consistent exchanges (a self-inverse permutation): the
+    adjoint IS the forward stage. shift/shiftl stages copy with fan-out;
+    their adjoint is the add-merge
 
         u' = (1 - m) * u + partner_inv(m * u)
 
-    (forward: out = where(m, partner(x), x); an input feeding several
-    outputs — a broadcast — becomes an ADD of their cotangents, which
-    is exactly what the sum of the two terms computes). partner_inv
-    swaps shift<->shiftl and keeps xor (involutive)."""
+    with partner_inv swapping shift<->shiftl. When dfpair, planes are one
+    (hi, lo) df64 pair and every merge is a compensated TwoSum add so the
+    transpose product keeps f64-grade accuracy."""
+    if kind == "xor":
+        return [
+            jnp.where(mask, _stage_partner(y, kind, d, R, rowid, laneid), y)
+            for y in planes
+        ]
+    inv = _INV_KIND[kind]
+    zero = jnp.zeros((R, 128), planes[0].dtype)
+    kept = [jnp.where(mask, zero, y) for y in planes]
+    moved = [
+        _stage_partner(jnp.where(mask, y, zero), inv, d, R, rowid, laneid)
+        for y in planes
+    ]
+    if dfpair and len(planes) == 2:
+        s, e = _adj_two_sum(kept[0], moved[0])
+        low = e + (kept[1] + moved[1])
+        hi = s + low
+        lo = low - (hi - s)  # quick_two_sum renormalization
+        return [hi, lo]
+    return [k + mv for k, mv in zip(kept, moved)]
+
+
+def _routed_kernel_t(kinds, dists, R, nplanes, dfpair, *refs):
+    """Adjoint (scatter-add) of _routed_kernel: runs the SAME bit-packed
+    masks in REVERSE stage order with each stage's adjoint update (see
+    _stage_adj). An input feeding several outputs — a broadcast — becomes
+    an ADD of their cotangents, which is exactly what the add-merge
+    computes."""
     x_refs = refs[:nplanes]
     masks_hbm = refs[nplanes]
     out_refs = refs[nplanes + 1 : nplanes + 1 + nplanes]
@@ -207,16 +246,9 @@ def _routed_kernel_t(kinds, dists, R, nplanes, *refs):
             mask_dma(p % 2, p).wait()
             plane_bits = scratch[p % 2].astype(jnp.int32)
         mask = ((plane_bits >> bit) & 1) != 0
-        kind, d = _INV_KIND[kinds[s]], dists[s]
-        zero = jnp.zeros((R, 128), planes[0].dtype)
-        nxt = []
-        for y in planes:
-            moved = jnp.where(mask, y, zero)
-            nxt.append(
-                jnp.where(mask, zero, y)
-                + _stage_partner(moved, kind, d, R, rowid, laneid)
-            )
-        planes = nxt
+        planes = _stage_adj(
+            planes, mask, kinds[s], dists[s], R, rowid, laneid, dfpair
+        )
     for o, y in zip(out_refs, planes):
         if len(o.shape) == 3:
             o[0] = y
@@ -230,6 +262,7 @@ def routed_apply_t(
     kinds: Tuple[str, ...],
     dists: Tuple[int, ...],
     *,
+    dfpair: bool = False,
     interpret: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Adjoint of routed_apply: y = G^T u for the same switch masks.
@@ -239,7 +272,8 @@ def routed_apply_t(
     space. Shares the masks with the forward — the transpose costs ZERO
     extra plan bytes (the reference keeps a second CSC copy per matrix
     for A^T products, e.g. SparseBench's BiCG; here the network IS its
-    own adjoint machine)."""
+    own adjoint machine). dfpair: planes are one (hi, lo) df64 pair and
+    merges are compensated."""
     B, P, R, _ = masks.shape
     S = len(kinds)
     assert P == (S + 7) // 8 and S == len(dists)
@@ -248,7 +282,7 @@ def routed_apply_t(
     nplanes = len(x_planes)
     dtype = x_planes[0].dtype
     kern = functools.partial(
-        _routed_kernel_t, tuple(kinds), tuple(dists), R, nplanes
+        _routed_kernel_t, tuple(kinds), tuple(dists), R, nplanes, dfpair
     )
     out = pl.pallas_call(
         kern,
@@ -1358,6 +1392,499 @@ def hier_apply(
         planes = tuple(
             jnp.concatenate(
                 [pp[phys[b] * R : (phys[b] + 1) * R] for b in range(nblocks)]
+            )
+            for pp in planes
+        )
+    return planes
+
+
+# ---------------------------------------------------------------------------
+# hierarchical ADJOINT application (the Beneš-reverse transpose)
+#
+# A routed SpMV's gather network G is a static linear operator; its
+# transpose G^T is realized by running the SAME pass schedule in REVERSE
+# with each stage's adjoint update (_stage_adj): xor exchanges are
+# self-adjoint (pure permutation), shift/shiftl copies become add-merges
+# (a broadcast's adjoint is the run-SUM). The transpose product
+# A^T u = G^T (vals ⊙ expand(u)) therefore costs ZERO extra plan bytes —
+# the reference stages a second CSC operator per matrix for A^T products
+# (SparseBench BiCG, /root/reference/SparseBench/SRC/reference/iter.f:82-85;
+# the harness even substitutes A for A^T, random.f:50-88); here one plan
+# serves both directions, halving hier plan HBM (the class-E enabler).
+#
+# Layout bookkeeping mirrors the forward exactly: each adjoint pass reads
+# LOGICAL blocks through the current cotangent layout (rlayout) and writes
+# natural order, except the butterfly adjoint which writes group-major
+# (same new_layout formula as the forward). The forward's final static
+# relayout is free in the adjoint: the natural cotangent IS the
+# logical-indexed view, so the reverse sweep simply starts rlayout=None.
+# ---------------------------------------------------------------------------
+
+
+def _routed_kernel_bt(kinds, dists, R, nplanes, dfpair, *refs):
+    """Net-batched inner-pass adjoint: grid (nblocks, N); per-net in/out
+    planes; masks [N, nblocks, P, R, 128] streamed in REVERSE bit order."""
+    x_refs = refs[:nplanes]
+    masks_hbm = refs[nplanes]
+    out_refs = refs[nplanes + 1 : nplanes + 1 + nplanes]
+    scratch = refs[-2]
+    sems = refs[-1]
+    S = len(kinds)
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    laneid = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+
+    def mask_dma(slot, p):
+        return pltpu.make_async_copy(
+            masks_hbm.at[n, b, p], scratch.at[slot], sems.at[slot]
+        )
+
+    planes = [r[:].reshape(R, 128) for r in x_refs]
+    first_p = (S - 1) // 8
+    if S:
+        mask_dma(first_p % 2, first_p).start()
+    plane_bits = None
+    for s in range(S - 1, -1, -1):
+        p, bit = divmod(s, 8)
+        if s == S - 1 or bit == 7:
+            if p - 1 >= 0:
+                mask_dma((p - 1) % 2, p - 1).start()
+            mask_dma(p % 2, p).wait()
+            plane_bits = scratch[p % 2].astype(jnp.int32)
+        mask = ((plane_bits >> bit) & 1) != 0
+        planes = _stage_adj(
+            planes, mask, kinds[s], dists[s], R, rowid, laneid, dfpair
+        )
+    for o, y in zip(out_refs, planes):
+        o[0] = y
+
+
+def routed_apply_sliced_bt(
+    x_planes: Sequence[jax.Array],
+    masks: jax.Array,
+    kinds: Tuple[str, ...],
+    dists: Tuple[int, ...],
+    *,
+    dfpair: bool = False,
+    layout: Tuple[int, ...] | None = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Net-batched inner-pass adjoint. x_planes per-net [N, mrows, 128]
+    cotangents read through `layout`; writes natural block order."""
+    N, nblocks, P, R, _ = masks.shape
+    S = len(kinds)
+    assert P == (S + 7) // 8 and S == len(dists)
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    if layout is None:
+        layout = _identity_bitmap(int(np.log2(nblocks)))
+    nplanes = len(x_planes)
+    dtype = x_planes[0].dtype
+    mrows = x_planes[0].shape[-2]
+
+    kern = functools.partial(
+        _routed_kernel_bt, tuple(kinds), tuple(dists), R, nplanes, dfpair
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(nblocks, N),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((N, mrows, 128), dtype) for _ in range(nplanes)
+        ),
+        in_specs=[
+            pl.BlockSpec(
+                (1, R, 128),
+                lambda b, n: (n, _phys_expr(b, layout), 0),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(nplanes)
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tuple(
+            pl.BlockSpec(
+                (1, R, 128), lambda b, n: (n, b, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(nplanes)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, 128), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(*x_planes, masks)
+    return out if isinstance(out, tuple) else (out,)
+
+
+def butterfly_apply_bt(
+    x_planes: Sequence[jax.Array],
+    masks: jax.Array,
+    block_bits: Tuple[int, ...],
+    bl: int,
+    *,
+    layout: Tuple[int, ...] | None = None,
+    interpret: bool = False,
+):
+    """Net-batched butterfly adjoint: the g exchange stages applied in
+    REVERSE order (each is self-adjoint). Reads logical member blocks
+    through `layout`, writes group-major like the forward. Returns
+    (planes [N, mrows, 128], new_layout). Pure permutation — no merges,
+    so df pairs ride as two independent planes."""
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    g = len(block_bits)
+    G = 1 << g
+    nplanes = len(x_planes)
+    R = bl // 128
+    mrows = x_planes[0].shape[-2]
+    nblocks = mrows // R
+    nbits = int(np.log2(nblocks))
+    ngroups = nblocks // G
+    N = masks.shape[0]
+    dtype = x_planes[0].dtype
+    if layout is None:
+        layout = _identity_bitmap(nbits)
+
+    rest = [b for b in range(nbits) if b not in block_bits]
+
+    def logical_bid_expr(gid, s):
+        bid = 0
+        for i, b in enumerate(rest):
+            bid = bid + ((gid // (1 << i)) % 2) * (1 << b)
+        for k, b in enumerate(block_bits):
+            bid = bid + ((s >> k) & 1) * (1 << b)
+        return bid
+
+    new_layout = tuple(block_bits) + tuple(rest)
+
+    def kern(*refs):
+        xs = refs[: nplanes * G]
+        mref = refs[nplanes * G]
+        outs = refs[nplanes * G + 1 :]
+        cur = [
+            [xs[p * G + s][:].reshape(R, 128) for s in range(G)]
+            for p in range(nplanes)
+        ]
+        mbits = mref[0, 0].astype(jnp.int32)
+        for k in range(g - 1, -1, -1):  # the only difference vs forward
+            new = [[None] * G for _ in range(nplanes)]
+            for s in range(G):
+                partner = s ^ (1 << k)
+                msk = ((mbits[s * R : (s + 1) * R, :] >> k) & 1) != 0
+                for p in range(nplanes):
+                    new[p][s] = jnp.where(msk, cur[p][partner], cur[p][s])
+            cur = new
+        for p in range(nplanes):
+            for s in range(G):
+                outs[p][0, s * R : (s + 1) * R, :] = cur[p][s]
+
+    in_specs = []
+    for _ in range(nplanes):
+        for s in range(G):
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, R, 128),
+                    (lambda gid, n, s=s: (
+                        n, _phys_expr(logical_bid_expr(gid, s), layout), 0)),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+    in_specs.append(
+        pl.BlockSpec(
+            (1, 1, G * R, 128), lambda gid, n: (n, gid, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(ngroups, N),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((N, mrows, 128), dtype) for _ in range(nplanes)
+        ),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec(
+                (1, G * R, 128), lambda gid, n: (n, gid, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(nplanes)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(*[p for p in x_planes for _ in range(G)], masks)
+    out = out if isinstance(out, tuple) else (out,)
+    return out, new_layout
+
+
+def window_shift_apply_bt(
+    x_planes: Sequence[jax.Array],
+    masks: jax.Array,
+    dists: Tuple[int, ...],
+    bl: int,
+    *,
+    dfpair: bool = False,
+    layout: Tuple[int, ...] | None = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Net-batched window-pass adjoint: the fused shift stages applied in
+    reverse order as add-merges u'[i] = (1-m[i])u[i] + m[i+d]u[i+d].
+    Block b's adjoint depends on window (b, b+1) — the mirror of the
+    forward's (b-1, b). Mask windows are read from the forward's packed
+    array at blocks b and b+1 (self halves), no repacking."""
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    S = len(dists)
+    nplanes = len(x_planes)
+    R = bl // 128
+    mrows = x_planes[0].shape[-2]
+    nblocks = mrows // R
+    N = masks.shape[0]
+    dtype = x_planes[0].dtype
+    assert sum(dists) < bl and S <= 8
+    if layout is None:
+        layout = _identity_bitmap(int(np.log2(nblocks)))
+
+    def kern(*refs):
+        selves = refs[:nplanes]
+        rights = refs[nplanes : 2 * nplanes]
+        m_self = refs[2 * nplanes]
+        m_right = refs[2 * nplanes + 1]
+        outs = refs[2 * nplanes + 2 :]
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (2 * R, 128), 0)
+        laneid = jax.lax.broadcasted_iota(jnp.int32, (2 * R, 128), 1)
+        # window mask = self-halves of packed blocks b and b+1
+        mbits = jnp.concatenate(
+            [m_self[0, 0, R:].astype(jnp.int32), m_right[0, 0, R:].astype(jnp.int32)],
+            axis=0,
+        )
+        planes = [
+            jnp.concatenate(
+                [sf[:].reshape(R, 128), rg[:].reshape(R, 128)], axis=0
+            )
+            for sf, rg in zip(selves, rights)
+        ]
+        for s in range(S - 1, -1, -1):
+            msk = ((mbits >> s) & 1) != 0
+            planes = _stage_adj(
+                planes, msk, "shift", dists[s], 2 * R, rowid, laneid, dfpair
+            )
+        for o, y in zip(outs, planes):
+            o[0] = y[:R]
+
+    in_specs = (
+        [
+            pl.BlockSpec(
+                (1, R, 128),
+                (lambda b, n: (n, _phys_expr(b, layout), 0)),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(nplanes)
+        ]
+        + [
+            pl.BlockSpec(
+                (1, R, 128),
+                (lambda b, n: (n, _phys_expr((b + 1) % nblocks, layout), 0)),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(nplanes)
+        ]
+        + [
+            pl.BlockSpec(
+                (1, 1, 2 * R, 128), lambda b, n: (n, b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 2 * R, 128),
+                lambda b, n: (n, (b + 1) % nblocks, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(nblocks, N),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((N, mrows, 128), dtype) for _ in range(nplanes)
+        ),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec(
+                (1, R, 128), lambda b, n: (n, b, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(nplanes)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(*x_planes, *x_planes, masks, masks)
+    return out if isinstance(out, tuple) else (out,)
+
+
+def bigshift_apply_bt(
+    x_planes: Sequence[jax.Array],
+    masks: jax.Array,
+    d: int,
+    bl: int,
+    *,
+    dfpair: bool = False,
+    layout: Tuple[int, ...] | None = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Net-batched block-aligned long-shift adjoint:
+    u'[i] = (1-m[i])u[i] + m[i+d]u[i+d] with d a multiple of bl — block b
+    merges its own kept values with block b+d/bl's masked values."""
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    nplanes = len(x_planes)
+    R = bl // 128
+    mrows = x_planes[0].shape[-2]
+    nblocks = mrows // R
+    N = masks.shape[0]
+    dtype = x_planes[0].dtype
+    db = (d // bl) % nblocks
+    if layout is None:
+        layout = _identity_bitmap(int(np.log2(nblocks)))
+
+    def kern(*refs):
+        selves = refs[:nplanes]
+        rights = refs[nplanes : 2 * nplanes]
+        m_self = refs[2 * nplanes]
+        m_right = refs[2 * nplanes + 1]
+        outs = refs[2 * nplanes + 2 :]
+        msk_s = m_self[0, 0] != 0
+        msk_r = m_right[0, 0] != 0
+        zero = jnp.zeros((R, 128), dtype)
+        kept = [jnp.where(msk_s, zero, sf[:].reshape(R, 128)) for sf in selves]
+        moved = [jnp.where(msk_r, rg[:].reshape(R, 128), zero) for rg in rights]
+        if dfpair and nplanes == 2:
+            s, e = _adj_two_sum(kept[0], moved[0])
+            low = e + (kept[1] + moved[1])
+            hi = s + low
+            lo = low - (hi - s)
+            res = [hi, lo]
+        else:
+            res = [k + mv for k, mv in zip(kept, moved)]
+        for o, y in zip(outs, res):
+            o[0] = y
+
+    in_specs = (
+        [
+            pl.BlockSpec(
+                (1, R, 128),
+                (lambda b, n: (n, _phys_expr(b, layout), 0)),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(nplanes)
+        ]
+        + [
+            pl.BlockSpec(
+                (1, R, 128),
+                (lambda b, n: (n, _phys_expr((b + db) % nblocks, layout), 0)),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(nplanes)
+        ]
+        + [
+            pl.BlockSpec(
+                (1, 1, R, 128), lambda b, n: (n, b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, R, 128),
+                lambda b, n: (n, (b + db) % nblocks, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(nblocks, N),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((N, mrows, 128), dtype) for _ in range(nplanes)
+        ),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec(
+                (1, R, 128), lambda b, n: (n, b, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(nplanes)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(*x_planes, *x_planes, masks, masks)
+    return out if isinstance(out, tuple) else (out,)
+
+
+def hier_apply_batched_t(
+    x_planes: Sequence[jax.Array],
+    pass_meta,
+    pass_masks,
+    bl: int,
+    *,
+    dfpair: bool = False,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Adjoint of hier_apply_batched: run the shared pass schedule in
+    REVERSE over N per-net cotangent planes [N, mrows, 128]. Returns
+    per-net [N, mrows, 128] planes in the forward's input space (natural
+    block order). Layout bookkeeping evolves exactly like the forward's
+    but over the reversed pass sequence; the forward's final static
+    relayout needs no adjoint step (the natural cotangent IS the
+    logical-indexed view)."""
+    planes = tuple(x_planes)
+    R = bl // 128
+    mrows = planes[0].shape[-2]
+    nblocks = mrows // R
+    rlayout = None
+    for meta, mk in zip(reversed(pass_meta), reversed(pass_masks)):
+        if meta[0] == "inner":
+            _, ks, ds = meta
+            planes = routed_apply_sliced_bt(
+                planes, mk, ks, ds, dfpair=dfpair, layout=rlayout,
+                interpret=interpret,
+            )
+            rlayout = None
+        elif meta[0] == "butterfly":
+            _, bits = meta
+            planes, rlayout = butterfly_apply_bt(
+                planes, mk, bits, bl, layout=rlayout, interpret=interpret
+            )
+            if tuple(rlayout) == tuple(range(len(rlayout))):
+                rlayout = None
+        elif meta[0] == "bigshift":
+            _, d = meta
+            planes = bigshift_apply_bt(
+                planes, mk, d, bl, dfpair=dfpair, layout=rlayout,
+                interpret=interpret,
+            )
+            rlayout = None
+        else:
+            _, ds = meta
+            planes = window_shift_apply_bt(
+                planes, mk, ds, bl, dfpair=dfpair, layout=rlayout,
+                interpret=interpret,
+            )
+            rlayout = None
+    if rlayout is not None:
+        phys = [0] * nblocks
+        for b in range(nblocks):
+            p = 0
+            for k, srcbit in enumerate(rlayout):
+                p |= ((b >> srcbit) & 1) << k
+            phys[b] = p
+        planes = tuple(
+            jnp.concatenate(
+                [pp[..., phys[b] * R : (phys[b] + 1) * R, :] for b in range(nblocks)],
+                axis=-2,
             )
             for pp in planes
         )

@@ -340,6 +340,9 @@ def jag_ellt_spmv_df(A: JagELLT, x: df.DF) -> df.DF:
     so there is no K-minor tile padding at any scale (the [rows, K, 2]
     row-major form demanded 32 GB of compile-time HBM at class-E VT
     size). One pair-gather per diagonal serves both df words."""
+    if len(A.row_counts) == 0:  # all-empty-rows matrix: zero buckets
+        z = jnp.zeros(A.shape[0], jnp.float32)
+        return df.DF(z, z)
     xs = jnp.stack([x.hi, x.lo], axis=-1)
 
     def body(acc, op):

@@ -232,11 +232,12 @@ class SpmvPlan:
         return get_kernel(self.kernel).fn(A, x)
 
     def matvec_t_with(self, A, x):
-        """y = A^T x, via the registry's transpose slot. Kernels without a
-        scatter-add transpose (the df64 and routed families, whose
-        compensated/staged accumulation has no order-preserving scatter
-        form) raise — build the transpose as its own forward plan with
-        transposed_plan()."""
+        """y = A^T x, via the registry's transpose slot. The routed
+        families run their FORWARD plan in reverse with add-merges (the
+        Beneš-reverse transpose, kernels/routed.py hier_apply_batched_t —
+        zero extra plan bytes); gather-family kernels without a
+        scatter-add transpose raise — build the transpose as its own
+        forward plan with transposed_plan()."""
         from lilac_tpu.kernels.registry import get_kernel
 
         t = get_kernel(self.kernel).transpose

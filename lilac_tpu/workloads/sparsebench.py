@@ -348,22 +348,32 @@ def build_bench_plans(size: int, *, dtype="df64", seed=0, kernel="auto",
         indptr, indices, data, _order, _rank = length_relabel_csr(
             indptr, indices, data, shape
         )
+    from lilac_tpu.config import cfg as _cfg
+
+    conf = _cfg()
     ck = ckt = None
     if kernel.startswith("routed"):
         # key the routed-plan disk cache on everything that shapes the
         # container: matrix identity, relabel, and the hier knobs
-        from lilac_tpu.config import cfg as _cfg
-
-        conf = _cfg()
         g = conf.hier_gmax if conf.hier_gmax is not None else "a"
         tag = f"sb{size}s{seed}r{int(sigma_relabel)}bl{conf.hier_bl}g{g}"
         ck, ckt = tag + "_F", tag + "_T"
     plan = SpmvPlan(indptr, indices, data, shape, dtype=dtype, kernel=kernel,
                     cache_key=ck)
-    # true-transpose operator as its own forward plan (BiCG needs A^T p;
-    # a transposed plan keeps both directions on the fast gather path)
-    plan_t = transposed_plan(indptr, indices, data, shape, dtype=dtype,
-                             kernel=kernel, cache_key=ckt)
+    # Aᵀp for BiCG: 'adj' (default for routed kernels) runs the FORWARD
+    # plan's network in reverse with add-merges — zero extra plan bytes,
+    # half the plan build/upload (the registry transpose slot,
+    # kernels/routed.py hier_apply_batched_t); 'plan' stages the true
+    # transpose as its own forward plan (the reference's BiCG silently
+    # substitutes A for Aᵀ instead, SURVEY.md section 3.5).
+    tmode = conf.sb_transpose
+    if tmode == "auto":
+        tmode = "adj" if plan.kernel.startswith("routed") else "plan"
+    if tmode == "adj":
+        plan_t = None
+    else:
+        plan_t = transposed_plan(indptr, indices, data, shape, dtype=dtype,
+                                 kernel=kernel, cache_key=ckt)
     return plan, plan_t, n, (indptr, indices, data, shape)
 
 
@@ -409,17 +419,21 @@ def benchmark(size: int, *, maxit=100, rtol=1e-6, dtype="df64", seed=0,
     per_dispatch = 50_000_000 if plan.kernel.startswith("routed_hier") else 500_000_000
     chunk = min(maxit, max(1, per_dispatch // max(n, 1)))
 
+    if plan_t is None:
+        matvec_t = lambda _A, v: plan.matvec_t_with(_A[0], v)  # noqa: E731
+        As = (plan.A,)
+    else:
+        matvec_t = lambda _A, v: plan_t.matvec_with(_A[1], v)  # noqa: E731
+        As = (plan.A, plan_t.A)
+
     @jax.jit
     def solve_to(As, b, state, limit):
-        A, At = As
         return bicg_solve(
             lambda _A, v: plan.matvec_with(_A[0], v),
-            lambda _A, v: plan_t.matvec_with(_A[1], v),
+            matvec_t,
             alg, As, b, x0, maxit=maxit, rtol=rtol,
             state=state, stop_at=limit,
         )
-
-    As = (plan.A, plan_t.A)
 
     def full():
         state = None

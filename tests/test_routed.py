@@ -575,3 +575,142 @@ def test_routed_adjoint_transpose_matches_oracle(rng):
             rs.routed_spmv_adj_t(Mr, jnp.asarray(u), interpret=True)
         )
         np.testing.assert_allclose(yr, want, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Beneš-reverse transpose (adjoint) — hier + df64
+# ---------------------------------------------------------------------------
+
+
+def test_hier_apply_batched_t_is_exact_transpose(rng):
+    """hier_apply_batched_t realizes G^T for the same pass masks: checked
+    against the dense operator matrix of the forward network (heavy dups
+    force window + bigshift passes; m/bl = 4 forces butterflies)."""
+    import jax.numpy as jnp
+
+    n, T, bl = 500, 4096, 1024
+    idx = np.concatenate([np.full(1800, 3), rng.integers(0, n, size=T - 1800)])
+    rng.shuffle(idx)
+    net = rn.build_gather_network(idx[None], n, drop_empty=False)
+    passes = rd.compile_hier(net.kinds, net.dists, net.masks[:, 0, :], bl)
+    meta = tuple(p[:-1] for p in passes)
+    masks = tuple(p[-1] for p in passes)
+    m = net.m
+
+    # forward dense operator via basis vectors on the host simulator
+    G = np.zeros((m, m), dtype=np.float64)
+    eye = np.eye(m, dtype=np.float32)
+    G[:] = net.apply_host(eye).T  # column j = G e_j
+
+    u = rng.normal(size=m).astype(np.float32)
+    (out,) = rd.hier_apply_batched_t(
+        (jnp.asarray(u.reshape(1, -1, 128)),),
+        meta,
+        tuple(mk[None] for mk in masks),
+        bl,
+        interpret=True,
+    )
+    want = G.T @ u
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(-1), want, rtol=1e-5, atol=1e-4
+    )
+
+
+def test_routed_hier_spmv_adj_matches_oracle(rng):
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed_spmv as rs
+
+    A = _random_csr_spread(rng, 3000, 3000, 6.0)
+    for colmajor in (True, False):
+        M = rs.build_routed_csr_hier(
+            A.indptr, A.indices, A.data, A.shape, dtype="f32", bl=1024,
+            colmajor=colmajor,
+        )
+        u = rng.normal(size=A.shape[0]).astype(np.float32)
+        y = np.asarray(
+            rs.routed_hier_spmv_adj_t(M, jnp.asarray(u), interpret=True)
+        )
+        want = A.T @ u.astype(np.float64)
+        np.testing.assert_allclose(y, want, rtol=2e-4, atol=2e-4)
+        # packed groups: same oracle (cross-net reduction order differs
+        # from the per-net path by f32 rounding, so no bitwise check)
+        P = rs.pack_hier(M)
+        yp = np.asarray(
+            rs.routed_hier_spmv_adj_t(P, jnp.asarray(u), interpret=True)
+        )
+        np.testing.assert_allclose(yp, want, rtol=2e-4, atol=2e-4)
+
+
+def test_routed_hier_spmv_adj_df_matches_oracle(rng):
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed_spmv as rs
+    from lilac_tpu.ops import dfloat as df
+
+    A = _random_csr_spread(rng, 2500, 2500, 5.0)
+    M = rs.build_routed_csr_hier(
+        A.indptr, A.indices, A.data, A.shape, dtype="df64", bl=1024
+    )
+    u = rng.normal(size=A.shape[0])
+    y = df.to_f64(
+        rs.routed_hier_spmv_adj_t_df(M, df.from_f64(jnp.asarray(u)),
+                                     interpret=True)
+    )
+    want = A.T @ u
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-12, atol=1e-12)
+    # packed groups: same oracle (cross-net df reduction order differs
+    # from the per-net path at the 1e-14 level, so no bitwise check)
+    P = rs.pack_hier(M)
+    yp = df.to_f64(
+        rs.routed_hier_spmv_adj_t_df(P, df.from_f64(jnp.asarray(u)),
+                                     interpret=True)
+    )
+    np.testing.assert_allclose(np.asarray(yp), want, rtol=1e-12, atol=1e-12)
+
+
+def test_routed_adjoint_df_single_table_matches_oracle(rng):
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import routed_spmv as rs
+    from lilac_tpu.ops import dfloat as df
+
+    for sort_rows in (False, True):
+        A = _random_csr_spread(rng, 900, 1000, 5.0)
+        M = rs.build_routed_csr(
+            A.indptr, A.indices, A.data, A.shape, dtype="df64",
+            sort_rows=sort_rows,
+        )
+        u = rng.normal(size=A.shape[0])
+        y = df.to_f64(
+            rs.routed_spmv_adj_t_df(M, df.from_f64(jnp.asarray(u)),
+                                    interpret=True)
+        )
+        want = A.T @ u
+        np.testing.assert_allclose(
+            np.asarray(y), want, rtol=1e-12, atol=1e-12
+        )
+
+
+def test_factored_vt_adj_matches_plan(rng, monkeypatch, tmp_path):
+    """The factored operator with vt='adj' (Vᵀ through V's reversed
+    network) matches vt='plan' (dedicated VT plan) to df64 accuracy on
+    NPB class S, and builds/loads only the V plan."""
+    import jax.numpy as jnp
+
+    from lilac_tpu.kernels import factored as fc
+    from lilac_tpu.ops import dfloat as df
+
+    monkeypatch.setenv("LILAC_DATA_DIR", str(tmp_path))
+    monkeypatch.setenv("LILAC_FACTORED_SEGMODE", "routed")
+    monkeypatch.setenv("LILAC_FACTORED_VT", "plan")
+    Ap, nnz_p = fc.build_factored("S", dtype="df64")
+    monkeypatch.setenv("LILAC_FACTORED_VT", "adj")
+    Aa, nnz_a = fc.build_factored("S", dtype="df64")
+    assert Aa.VT is None and Ap.VT is not None and nnz_p == nnz_a
+    x = rng.normal(size=1400)
+    ya = df.to_f64(fc.factored_spmv_df(Aa, df.from_f64(jnp.asarray(x))))
+    yp = df.to_f64(fc.factored_spmv_df(Ap, df.from_f64(jnp.asarray(x))))
+    np.testing.assert_allclose(
+        np.asarray(ya), np.asarray(yp), rtol=1e-12, atol=1e-12
+    )
