@@ -84,23 +84,32 @@ def _fingerprint(quick=True):
 
     fp = {}
     try:
+        # host readback is the only reliable fence through the axon
+        # tunnel (block_until_ready returns early — measured 15 TB/s
+        # "bandwidth" without it); chain dependent calls and read one
+        # element at the end
         nbig = 1 << 26  # 256 MB f32
         v = jnp.zeros(nbig, jnp.float32)
-        cp = jax.jit(lambda a: a + 1.0)
-        cp(v).block_until_ready()
+        reps_h = 30  # chained in ONE program so the tunnel round-trip
+        # (~tens of ms) amortizes instead of dominating
+
+        @jax.jit
+        def sweep(a):
+            return jax.lax.fori_loop(0, reps_h, lambda _, x: x + 1.0, a)
+
+        _ = float(np.asarray(sweep(v)[0]))
         t0 = time.perf_counter()
-        for _ in range(3):
-            v = cp(v)
-        v.block_until_ready()
-        dt = (time.perf_counter() - t0) / 3
+        _ = float(np.asarray(sweep(v)[0]))
+        dt = (time.perf_counter() - t0) / reps_h
         fp["hbm_copy_gbps"] = round(2 * nbig * 4 / dt / 1e9, 1)
+        cp = jax.jit(lambda a: a + 1.0)
         tiny = jnp.zeros(8, jnp.float32)
-        cp(tiny).block_until_ready()
+        _ = float(np.asarray(cp(tiny)[0]))
         t0 = time.perf_counter()
         reps = 20
         for _ in range(reps):
             tiny = cp(tiny)
-        tiny.block_until_ready()
+            _ = float(np.asarray(tiny[0]))  # per-call round-trip
         fp["dispatch_ms"] = round((time.perf_counter() - t0) / reps * 1e3, 2)
         if not quick:
             from lilac_tpu.utils.profiling import measure_stage_roofline

@@ -304,9 +304,12 @@ class FactoredNPBPlan:
         routed_types = (RoutedMat, RoutedMatHier, RoutedMatHierP,
                         RoutedMatSeg)
         v_routed = isinstance(self.A.V, routed_types)
-        t_routed = isinstance(self.A.VT, routed_types)
-        sub = ("routed" if v_routed and t_routed
-               else "mixed" if v_routed or t_routed else "xla")
+        if self.A.VT is None:  # Vᵀ through V's reversed network
+            sub = "routed_adj" if v_routed else "xla"
+        else:
+            t_routed = isinstance(self.A.VT, routed_types)
+            sub = ("routed" if v_routed and t_routed
+                   else "mixed" if v_routed or t_routed else "xla")
         self.kernel = f"factored_{sub}" + ("_df" if dtype == "df64" else "")
 
     def matvec_with(self, A, x):
