@@ -134,3 +134,62 @@ def test_collect_rows_resumable_and_model_v2(tmp_path, monkeypatch):
     # the shipped weights still load through the normal path
     back = autotune.LinearSelector.load(model_path)
     assert back.predict(np.asarray(lines[1]["feat"])) in ("a", "b")
+
+
+def test_model_ship_gate_blocks_weak_models(tmp_path, monkeypatch):
+    """A trained model whose held-out accuracy does not beat BOTH the
+    majority-class and heuristic baselines must not install: predict()
+    returns None and SpmvPlan's heuristic serves (round-4 verdict: the
+    shipped 0.52-accuracy model was worse than always saying 'routed')."""
+    import json
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # corpus where 'routed' wins 80% of rows but features are pure noise:
+    # no linear model can beat the 0.8 majority/heuristic baselines
+    for i in range(40):
+        win = "routed" if i % 5 else "xla_ell"
+        times = {"routed": 2.0, "xla_ell": 2.0}
+        times[win] = 1.0
+        rows.append(dict(
+            name=f"r{i}", feat=list(rng.normal(size=5)), times=times,
+            nrows=1000, ncols=1000, nnz=5000,
+        ))
+    rows_path = str(tmp_path / "rows.jsonl")
+    with open(rows_path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    model_path = str(tmp_path / "model.json")
+    autotune.build_model_v2(rows_path, model_path, verbose=False)
+    meta = json.load(open(model_path))["meta"]
+    assert "majority_accuracy" in meta and "heuristic_accuracy" in meta
+    # force the weak-model condition deterministically (training on noise
+    # can land at the majority rate either side of the bar): the GATE is
+    # what's under test — a recorded held-out accuracy at/below the
+    # baselines must keep the model uninstalled
+    d = json.load(open(model_path))
+    d["meta"]["test_accuracy"] = d["meta"]["majority_accuracy"]
+    d["meta"]["gated_ok"] = False
+    with open(model_path, "w") as f:
+        json.dump(d, f)
+    monkeypatch.setenv("LILAC_AUTOTUNE_MODEL", model_path)
+    autotune._cached_model = None
+    autotune._cached_path = None
+    assert autotune.installed_model() is None
+    assert autotune.predict(1000, 5000, 5.0, 1.0) is None
+
+    # a strong model (labels perfectly separable on feat[0]) DOES ship
+    for i, r in enumerate(rows):
+        win = "routed" if i % 2 else "xla_ell"
+        r["times"] = {"routed": 2.0, "xla_ell": 2.0}
+        r["times"][win] = 1.0
+        r["feat"][0] = 5.0 if win == "routed" else -5.0
+    with open(rows_path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    autotune.build_model_v2(rows_path, model_path, verbose=False)
+    meta2 = json.load(open(model_path))["meta"]
+    assert meta2["gated_ok"]
+    autotune._cached_model = None
+    autotune._cached_path = None
+    assert autotune.installed_model() is not None
