@@ -67,8 +67,14 @@ def run(
             steps_per_dispatch = n_it
         elif cls.na <= 200000:
             steps_per_dispatch = 15  # ~5s programs on classes B/C
+        elif cls.na <= (1 << 21):
+            steps_per_dispatch = 3  # class D: keep programs under ~1 min
         else:
-            steps_per_dispatch = 3  # class D+: keep programs under ~1 min
+            # class E: 26 matvecs/outer-step at ~0.5-1 s each — 3 steps
+            # per dispatch exceeded the TPU runtime watchdog and crashed
+            # the worker (2026-08-20); one outer step per dispatch stays
+            # ~15-30 s
+            steps_per_dispatch = 1
 
     if plan is None:
         if kernel == "factored":
