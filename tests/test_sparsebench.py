@@ -193,3 +193,20 @@ def test_large_sizes_against_true_residual_oracle():
 
     results = sb.validate_large(sizes=(40,), verbose=False)
     assert results and all(ok for _, ok, _ in results), results
+
+
+def test_sparsebench_benchmark_adjoint_transpose(monkeypatch):
+    """Benchmark mode with the Aᵀ product through the forward plan's
+    reversed network (LILAC_SB_TRANSPOSE=adj) converges identically to
+    the two-plan route — the trajectories agree because both compute the
+    exact transpose."""
+    from lilac_tpu.workloads import sparsebench as sb
+
+    monkeypatch.setenv("LILAC_SB_TRANSPOSE", "plan")
+    r_plan = sb.benchmark(10, maxit=20, dtype="f64")
+    monkeypatch.setenv("LILAC_SB_TRANSPOSE", "adj")
+    # force a kernel with a registered transpose on CPU (routed kernels
+    # keep the gather path on CPU; xla_csr has a scatter-form transpose)
+    r_adj = sb.benchmark(10, maxit=20, dtype="f64", kernel="xla_csr")
+    assert r_adj.iterations == r_plan.iterations
+    assert r_adj.validated, (r_adj.residual, r_adj.true_residual_rel_gap)

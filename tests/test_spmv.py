@@ -431,3 +431,17 @@ def test_jag_ellt_df_matches_oracle():
     x = rng.standard_normal(n)
     y = df.to_f64(jag_ellt_spmv_df(M, df.from_f64(x)))
     np.testing.assert_allclose(y, A @ x, rtol=1e-12, atol=1e-13)
+
+
+def test_plan_matvec_t_routed_adjoint(small_csr, rng):
+    """The routed kernels' registry transpose is the Beneš-reverse
+    adjoint of the forward plan — exact Aᵀ with zero extra plan bytes."""
+    arrs, shape, x, xt, y_ref, yt_ref = _oracle(small_csr, rng)
+    plan = SpmvPlan(*arrs, shape, dtype="f32", kernel="routed")
+    yt = plan.matvec_t(jnp.asarray(xt, jnp.float32))
+    np.testing.assert_allclose(np.asarray(yt), yt_ref, rtol=2e-4, atol=2e-4)
+    from lilac_tpu.ops import dfloat as df
+
+    pd = SpmvPlan(*arrs, shape, dtype="df64", kernel="routed_df")
+    ytd = pd.vec_out(pd.matvec_t(pd.vec_in(xt)))
+    np.testing.assert_allclose(ytd, yt_ref, rtol=1e-12)
