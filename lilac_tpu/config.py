@@ -73,14 +73,14 @@ KNOBS = (
          "~4 GB of pass intermediates pushed peak HBM over the edge — "
          "smaller groups trade a few more dispatches for bounded "
          "intermediates."),
-    Knob("df_fused", "LILAC_DF_FUSED", bool, False,
+    Knob("df_fused", "LILAC_DF_FUSED", bool, True,
          "Run the df64 multiply+row-sum glue of column-major routed plans "
          "as fused Pallas kernels (kernels/dfmulred.py) instead of the "
-         "barriered XLA op chain. TPU only. Default off: the per-chunk "
-         "call fan-out multiplies the traced op count by the matvecs per "
-         "dispatch and blew the class-C remote compile budget (measured "
-         "2026-08-20); turn on for few-dispatch workloads until the "
-         "block-table batched variant lands."),
+         "barriered XLA op chain. TPU only; chunks whose ELL width "
+         "exceeds the VMEM bound fall back to the chain. Default ON since "
+         "round 5: captured class C 5.87 s -> 4.79 s (10.8x MKL) with a "
+         "normal warm compile (tools/out7/classC_fused.log); the round-4 "
+         "off-default was a cold-compile-budget artifact."),
     Knob("steps_per_dispatch", "LILAC_STEPS_PER_DISPATCH", Optional[int], None,
          "NPB CG outer iterations fused per device dispatch (None = "
          "class-dependent auto: whole loop for small classes, chunks for "

@@ -129,13 +129,18 @@ def fused_available() -> bool:
 
 def chunk_mulreduce_df(vals, o_hi, o_lo, chlist, colmajor, *,
                        interpret=False, force_fused=None):
-    """df64 per-net ELL mul+row-sum: vals [m, 2], o planes [m] ->
-    (hi, lo) concatenated row sums over the (s0, rows_c, K) chunks.
+    """df64 per-net ELL mul+row-sum: vals [m, 2] (or a (hi, lo) tuple of
+    [m] planes — the packed groups' padding-free storage), o planes [m]
+    -> (hi, lo) concatenated row sums over the (s0, rows_c, K) chunks.
 
     Column-major chunks on TPU run the fused Pallas kernel; everything
     else falls back to the barriered XLA chain (df.mul + sum tree)."""
     from lilac_tpu.ops import dfloat as df
 
+    if isinstance(vals, tuple):
+        vh_m, vl_m = vals
+    else:
+        vh_m, vl_m = vals[..., 0], vals[..., 1]
     fused = force_fused if force_fused is not None else fused_available()
     # even the smallest block (bw=1024) must fit the ~14 MB scoped-VMEM
     # budget: 4 double-buffered [K, 1024] in-planes — K beyond ~427 would
@@ -144,7 +149,7 @@ def chunk_mulreduce_df(vals, o_hi, o_lo, chlist, colmajor, *,
     if fused and any((4 * K * 1024 * 4) * 2 > 14_000_000 for _, _, K in chlist):
         fused = False
     if not (colmajor and fused):
-        a = df.DF(vals[..., 0], vals[..., 1])
+        a = df.DF(vh_m, vl_m)
         prod = df.mul(a, df.DF(o_hi, o_lo))
         from lilac_tpu.kernels.routed_spmv import _chunk_reduce_net_df
 
@@ -153,8 +158,8 @@ def chunk_mulreduce_df(vals, o_hi, o_lo, chlist, colmajor, *,
     for (s0, rows_c, K) in chlist:
         sl = slice(s0, s0 + rows_c * K)
         h, l_ = dfmulred(
-            vals[sl, 0].reshape(K, rows_c),
-            vals[sl, 1].reshape(K, rows_c),
+            vh_m[sl].reshape(K, rows_c),
+            vl_m[sl].reshape(K, rows_c),
             o_hi[sl].reshape(K, rows_c),
             o_lo[sl].reshape(K, rows_c),
             rows_c,

@@ -851,12 +851,23 @@ jax.tree_util.register_dataclass(
 @dataclasses.dataclass
 class HierGroup:
     """A batch of hier nets sharing one pass schedule, masks stacked on a
-    leading net axis (see rd.hier_apply_batched)."""
+    leading net axis (see rd.hier_apply_batched).
+
+    vals are stored PLANE-SHAPED — [Ng, m//128, 128] (f32) or
+    [2, Ng, m//128, 128] (df64; index 0=hi, 1=lo) — so XLA's (8, 128)
+    tiling lands on the two big minor dims. The former [Ng, m(,2)]
+    layout put Ng on the sublane axis: at class E (Ng=5, m=2^24) XLA
+    padded 5→8, a 1.6x expansion that alone blew HBM by 1.1 GB
+    (measured OOM 2026-08-20, tools/out7/classE_adj3.log)."""
 
     pass_masks: tuple  # per pass: [Ng, ...] stacked device masks
-    vals: jax.Array  # [Ng, m(,2)]
+    vals: jax.Array  # [Ng, R, 128] f32 | [2, Ng, R, 128] df64
     pass_meta: tuple  # static, shared by all Ng nets
     net_ids: tuple  # static: original net indices (row-order bookkeeping)
+
+    @property
+    def dfpair(self) -> bool:
+        return self.vals.ndim == 4
 
 
 jax.tree_util.register_dataclass(
@@ -930,6 +941,7 @@ def pack_hier(M: RoutedMatHier) -> RoutedMatHierP:
         else:
             for g0 in range(0, len(ids), gmax_nets):
                 id_lists.append((key, ids[g0 : g0 + gmax_nets]))
+    R = M.m // 128
     groups = []
     for key, ids in id_lists:
         stacked = tuple(
@@ -938,7 +950,16 @@ def pack_hier(M: RoutedMatHier) -> RoutedMatHierP:
             )
             for j in range(len(key))
         )
-        vals = jnp.asarray(np.stack([np.asarray(M.vals[i]) for i in ids]))
+        vh = np.stack([np.asarray(M.vals[i]) for i in ids])  # [Ng, m(,2)]
+        if vh.ndim == 3:  # df64: split words, plane-shape each
+            vals = jnp.asarray(
+                np.stack([
+                    vh[..., 0].reshape(len(ids), R, 128),
+                    vh[..., 1].reshape(len(ids), R, 128),
+                ])
+            )
+        else:
+            vals = jnp.asarray(vh.reshape(len(ids), R, 128))
         groups.append(
             HierGroup(pass_masks=stacked, vals=vals, pass_meta=key,
                       net_ids=tuple(ids))
@@ -1222,9 +1243,11 @@ def _routed_hier_spmv_packed(A: RoutedMatHierP, x, *, interpret: bool = False):
         (o,) = rd.hier_apply_batched(
             (xp,), grp.pass_meta, grp.pass_masks, A.bl, interpret=interpret
         )
-        prod = grp.vals * o.reshape(len(grp.net_ids), A.m)
+        prod = grp.vals * o  # both [Ng, m//128, 128]
         for li, ni in enumerate(grp.net_ids):
-            parts[ni] = _chunk_reduce_net(prod[li], A.chunks[ni], A.colmajor)
+            parts[ni] = _chunk_reduce_net(
+                prod[li].reshape(A.m), A.chunks[ni], A.colmajor
+            )
     y_sorted = jnp.concatenate(parts)
     n = A.shape[0]
     if A.unperm is None:
@@ -1247,14 +1270,13 @@ def _routed_hier_spmv_packed_df(
         oh, ol = rd.hier_apply_batched(
             (ph, pl_), grp.pass_meta, grp.pass_masks, A.bl, interpret=interpret
         )
-        Ng = len(grp.net_ids)
-        ohr = oh.reshape(Ng, A.m)
-        olr = ol.reshape(Ng, A.m)
         from lilac_tpu.kernels.dfmulred import chunk_mulreduce_df
 
         for li, ni in enumerate(grp.net_ids):
             parts_h[ni], parts_l[ni] = chunk_mulreduce_df(
-                grp.vals[li], ohr[li], olr[li], A.chunks[ni], A.colmajor,
+                (grp.vals[0, li].reshape(A.m), grp.vals[1, li].reshape(A.m)),
+                oh[li].reshape(A.m), ol[li].reshape(A.m),
+                A.chunks[ni], A.colmajor,
                 interpret=interpret,
             )
     yh = jnp.concatenate(parts_h)
@@ -1372,22 +1394,23 @@ def routed_hier_spmv_adj_t(A, u, *, interpret: bool = False):
     y = None
     if isinstance(A, RoutedMatHierP):
         for grp in A.groups:
+            # plane-shaped [Ng, m//128, 128] throughout: a [Ng, m] stack
+            # would put Ng on XLA's sublane axis and tile-pad it to 8
             slots = jnp.stack(
                 [
                     _expand_net_slots(
                         us[offs[ni] : offs[ni + 1]], A.chunks[ni], A.m,
                         A.colmajor,
-                    )
+                    ).reshape(A.m // 128, 128)
                     for ni in grp.net_ids
                 ]
             )
             prod = (grp.vals * slots).astype(u.dtype)
-            Ng = len(grp.net_ids)
             (o,) = rd.hier_apply_batched_t(
-                (prod.reshape(Ng, A.m // 128, 128),),
+                (prod,),
                 grp.pass_meta, grp.pass_masks, A.bl, interpret=interpret,
             )
-            t = o.reshape(Ng, A.m).sum(axis=0)
+            t = o.sum(axis=0).reshape(A.m)
             y = t if y is None else y + t
     else:
         for ni, (net, vals) in enumerate(zip(A.nets, A.vals)):
@@ -1427,23 +1450,31 @@ def routed_hier_spmv_adj_t_df(A, u: df.DF, *, interpret: bool = False) -> df.DF:
         )
 
     if isinstance(A, RoutedMatHierP):
+        R = A.m // 128
         for grp in A.groups:
-            slots = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs),
-                *[net_slots(ni) for ni in grp.net_ids],
-            )
-            vals = df.DF(grp.vals[..., 0], grp.vals[..., 1])
-            prod = df.mul(vals, slots)
-            Ng = len(grp.net_ids)
+            # plane-shaped [Ng, m//128, 128] per df word throughout (see
+            # HierGroup.vals: a [Ng, m] layout tile-pads Ng to 8), and
+            # the TwoProd runs PER NET before the stack: the barriered
+            # df.mul chain's ~10 live intermediates are then one net's
+            # [R, 128] planes, not the whole group's (at class E that is
+            # the difference between ~0.7 GB and ~3 GB of transients)
+            prods = [
+                df.mul(
+                    df.DF(grp.vals[0, li], grp.vals[1, li]),
+                    jax.tree_util.tree_map(
+                        lambda x: x.reshape(R, 128), net_slots(ni)
+                    ),
+                )
+                for li, ni in enumerate(grp.net_ids)
+            ]
+            prod = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *prods)
             oh, ol = rd.hier_apply_batched_t(
-                (
-                    prod.hi.reshape(Ng, A.m // 128, 128),
-                    prod.lo.reshape(Ng, A.m // 128, 128),
-                ),
+                (prod.hi, prod.lo),
                 grp.pass_meta, grp.pass_masks, A.bl, dfpair=True,
                 interpret=interpret,
             )
-            t = df.sum_df0(df.DF(oh.reshape(Ng, A.m), ol.reshape(Ng, A.m)))
+            t = df.sum_df0(df.DF(oh, ol))
+            t = df.DF(t.hi.reshape(A.m), t.lo.reshape(A.m))
             y = t if y is None else df.add(y, t)
     else:
         for ni, (net, vals_i) in enumerate(zip(A.nets, A.vals)):

@@ -98,11 +98,11 @@ def upto_reduce(ph, pl_):
                 (ph, pl_), grp.pass_meta, grp.pass_masks, A.bl
             )
             Ng = len(grp.net_ids)
-            a = df.DF(grp.vals[..., 0], grp.vals[..., 1])
-            prod = df.mul(a, df.DF(oh.reshape(Ng, A.m), ol.reshape(Ng, A.m)))
+            a = df.DF(grp.vals[0], grp.vals[1])  # plane-shaped [Ng, R, 128]
+            prod = df.mul(a, df.DF(oh, ol))
             for li, ni in enumerate(grp.net_ids):
                 parts_h[ni] = _chunk_reduce_net(
-                    prod.hi[li], A.chunks[ni], A.colmajor
+                    prod.hi[li].reshape(A.m), A.chunks[ni], A.colmajor
                 )
         return acc + jnp.concatenate(parts_h)[0]
 
