@@ -65,12 +65,14 @@ BASELINE_S = {
 # cold. Round 3's driver run (BENCH_r03.json rc=1) died with nothing
 # banked because the first routed rung's cold plan-build + remote compile
 # outran the whole 480 s budget.
-WARM_WALL_S = {"A0": 12.0, "A": 15.0, "B": 25.0, "C": 55.0, "D": 420.0,
-               "E": 3000.0}
-# Class D's warm wall was dominated by the ~2 GB plan-cache upload through
-# the axon tunnel (~10 MB/s); the Beneš-reverse VT (round 5) halves the
-# resident plan to the V side only (~0.9 GB), pulling D's warm wall toward
-# the default 480 s budget. E is never on the ladder (forced runs only).
+WARM_WALL_S = {"A0": 12.0, "A": 15.0, "B": 25.0, "C": 55.0, "D": 260.0,
+               "E": 2500.0}
+# Class D warm wall measured 227.9 s (2026-08-20, tools/out7/
+# classD_fused.log): the Beneš-reverse VT halves the staged plan to the
+# V side (961 MB upload) and the fused df64 glue cuts the solve to
+# 159 s — the full A0->B->C->D ladder now fits the default 480 s
+# budget. E is never on the ladder (forced runs only; measured wall
+# 2348 s, classE_adj4.log).
 
 
 def _fingerprint(quick=True):
