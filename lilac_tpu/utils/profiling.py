@@ -302,6 +302,8 @@ def measure_plan_stage_time(plan, reps: int = 30):
     from lilac_tpu.kernels.routed_spmv import RoutedMat, RoutedMatSeg
 
     A = plan.A
+    from lilac_tpu.kernels.routed_spmv import RoutedMatHierP
+
     if isinstance(A, RoutedMat):
         segs = [(A.masks, A.kinds, A.dists)]
         npl = 2 if getattr(A.vals, "ndim", 2) == 3 else 1
@@ -310,6 +312,37 @@ def measure_plan_stage_time(plan, reps: int = 30):
         segs = list(zip(A.masks, A.kinds, A.dists))
         npl = 2 if getattr(A.vals[0], "ndim", 2) == 3 else 1
         m = A.m
+    elif isinstance(A, RoutedMatHierP):
+        # hier: replay every group's pass schedule (forward direction)
+        # on synthetic planes — the per-matvec pass-sweep floor
+        npl = 2 if A.groups[0].dfpair else 1
+        m = A.m
+        rng = np.random.default_rng(0)
+        planes = tuple(
+            jnp.asarray(rng.normal(size=(m // 128, 128)).astype(np.float32))
+            for _ in range(npl)
+        )
+
+        @jax.jit
+        def chain_h(p):
+            def body(_, pp):
+                acc = None
+                for grp in A.groups:
+                    outs = rd.hier_apply_batched(
+                        pp, grp.pass_meta, grp.pass_masks, A.bl
+                    )
+                    t = outs[0][0]  # net 0's plane keeps data dependence
+                    acc = t if acc is None else acc + t
+                return (acc,) + pp[1:]
+
+            return jax.lax.fori_loop(0, reps, body, p)
+
+        out = chain_h(planes)
+        _ = np.asarray(out[0][0, 0])  # fence
+        t0 = _time.perf_counter()
+        out = chain_h(planes)
+        _ = np.asarray(out[0][0, 0])
+        return (_time.perf_counter() - t0) / reps
     else:
         return None
     rng = np.random.default_rng(0)
