@@ -29,6 +29,5 @@ step() {
 }
 
 step ladder_full_r5b 600 python bench.py
-step autotune_more2 7200 python -m lilac_tpu.bench autotune-collect --budget-s 7000
-
 step sb160_floor 3600 python tools/sb160_floor.py
+step autotune_more2 7200 python -m lilac_tpu.bench autotune-collect --budget-s 7000
