@@ -250,3 +250,75 @@ def dist_cg_solve(plan: DistSpmvPlan, b, *, maxit=100, rtol=1e-6):
         )
     )
     return f(plan.a_arrays, b)
+
+
+def dist_transposed_plan(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    shape: Tuple[int, int],
+    mesh: Mesh,
+    **kw,
+) -> DistSpmvPlan:
+    """Aᵀ staged as its own row-block distributed plan (host CSC
+    transpose). The single-chip routed kernels get their transpose for
+    free from the reversed network (kernels/routed.py); the distributed
+    ELL plan stages the transpose explicitly so BOTH product directions
+    keep the all-gather + local-gather-reduce fast path and every value
+    policy (incl. df64's compensated sums) works unchanged."""
+    rows = np.repeat(np.arange(shape[0], dtype=np.int64), np.diff(indptr))
+    t_ip, t_ix, t_v = convert.coo_to_csr_arrays(
+        indices, rows, data, (shape[1], shape[0])
+    )
+    return DistSpmvPlan.build(t_ip, t_ix, t_v, (shape[1], shape[0]), mesh, **kw)
+
+
+def dist_bicg_solve(
+    plan: DistSpmvPlan,
+    plan_t: DistSpmvPlan,
+    b,
+    *,
+    maxit: int = 100,
+    rtol: float = 1e-6,
+):
+    """Distributed BiCG (SparseBench iter.f semantics) as one SPMD
+    program: both A·p and the exact Aᵀ·p̂ (the reference's harness
+    substitutes A for Aᵀ — SURVEY.md section 3.5; here the transpose is
+    staged honestly) run row-sharded with psum/all-gather collectives.
+    Returns (x sharded, its, hist, rnorm)."""
+    from lilac_tpu.solvers.bicg import bicg_solve
+
+    alg = plan.alg()
+    ax = plan.axis
+    vs = jax.tree.map(lambda _: P(ax), b)
+    if plan.dtype == "df64":
+        scal_spec = df.DF(P(), P())
+    else:
+        scal_spec = P()
+    x0 = jax.tree.map(jnp.zeros_like, b)
+
+    # bicg_solve takes one operator argument: thread both shard views as
+    # a pair and split inside the closures
+    def body2(A_local, At_local, b_local, x0_local):
+        x, its, hist, rn, _state = bicg_solve(
+            lambda pair, v: plan.local_matvec(pair[0], v),
+            lambda pair, v: plan_t.local_matvec(pair[1], v),
+            alg,
+            (A_local, At_local),
+            b_local,
+            x0_local,
+            maxit=maxit,
+            rtol=rtol,
+        )
+        return x, its, hist, rn
+
+    f = jax.jit(
+        jax.shard_map(
+            body2,
+            mesh=plan.mesh,
+            in_specs=(plan.a_specs, plan_t.a_specs, vs, vs),
+            out_specs=(vs, P(), P(), scal_spec),  # hist is plain f32
+            check_vma=False,
+        )
+    )
+    return f(plan.a_arrays, plan_t.a_arrays, b, x0)

@@ -422,3 +422,30 @@ def test_halo_routed_multichunk_matches_oracle():
     )
     y = plan.vec_out(f(plan.a_arrays, xd))
     np.testing.assert_allclose(y, ref, rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("dtype", ["f64", "df64"])
+def test_dist_bicg_solve_unsym(rng, dtype):
+    """Distributed BiCG with the exact staged Aᵀ (dist_transposed_plan)
+    against a dense solve — both product directions row-sharded over the
+    8-device mesh (the reference's BiCG is single-node and substitutes
+    A for Aᵀ; SURVEY.md section 3.5)."""
+    from lilac_tpu.parallel.dist import dist_bicg_solve, dist_transposed_plan
+
+    n = 80
+    indptr, indices, data, shape = _square_csr(rng, n)
+    # diagonally dominant unsymmetric system -> BiCG converges
+    A = sp.csr_matrix((data, indices, indptr), shape=shape)
+    A = A + sp.eye(n) * (np.abs(A).sum(axis=1).max() + 1.0)
+    A = A.tocsr()
+    mesh = make_mesh(8)
+    plan = DistSpmvPlan.build(A.indptr, A.indices, A.data, shape, mesh, dtype=dtype)
+    plan_t = dist_transposed_plan(A.indptr, A.indices, A.data, shape, mesh, dtype=dtype)
+    b_host = rng.normal(size=n)
+    x, its, hist, rn = dist_bicg_solve(
+        plan, plan_t, plan.vec_in(b_host), maxit=200, rtol=1e-10
+    )
+    assert int(its) > 0  # converged
+    x_np = plan.vec_out(x)
+    x_ref = sp.linalg.spsolve(A.tocsc(), b_host)
+    np.testing.assert_allclose(x_np, x_ref, rtol=1e-6, atol=1e-8)
