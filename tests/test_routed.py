@@ -714,3 +714,42 @@ def test_factored_vt_adj_matches_plan(rng, monkeypatch, tmp_path):
     np.testing.assert_allclose(
         np.asarray(ya), np.asarray(yp), rtol=1e-12, atol=1e-12
     )
+
+
+def test_hier_adjoint_consecutive_butterflies(rng):
+    """Adjoint layout chaining across CONSECUTIVE butterfly passes
+    (outer bits > gmax): m/bl = 32 -> 5 outer bits -> g=3 + g=2 passes
+    back-to-back on each Beneš side — the configuration class D/E run
+    on chip (zeta-verified), regression-pinned here on CPU."""
+    import jax.numpy as jnp
+
+    n, T, bl = 2000, 1 << 15, 1024
+    idx = rng.integers(0, n, size=T)
+    net = rn.build_gather_network(idx[None], n, drop_empty=False)
+    assert net.m // bl == 32
+    passes = rd.compile_hier(net.kinds, net.dists, net.masks[:, 0, :], bl,
+                             gmax=3)
+    kinds_seq = [p[0] for p in passes]
+    # require the schedule to actually chain butterflies
+    assert any(
+        kinds_seq[i] == kinds_seq[i + 1] == "butterfly"
+        for i in range(len(kinds_seq) - 1)
+    ), kinds_seq
+    meta = tuple(p[:-1] for p in passes)
+    masks = tuple(p[-1] for p in passes)
+    m = net.m
+
+    u = rng.normal(size=m).astype(np.float32)
+    (out,) = rd.hier_apply_batched_t(
+        (jnp.asarray(u.reshape(1, -1, 128)),),
+        meta,
+        tuple(mk[None] for mk in masks),
+        bl,
+        interpret=True,
+    )
+    # G^T u via the forward host simulator: (G e_j) . u for each j —
+    # with G row j of apply_host(eye) = G e_j, G^T u = apply_host(eye) @ u
+    Gt_u = net.apply_host(np.eye(m, dtype=np.float32)) @ u.astype(np.float64)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(-1), Gt_u, rtol=1e-5, atol=1e-4
+    )

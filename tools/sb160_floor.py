@@ -10,10 +10,12 @@ and prints the attribution. The gap (b)-(a) is glue (vals multiply +
 chunk reduce + unperm); (c)/(b) is the adjoint's add-merge premium.
 """
 import os
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("LILAC_HIER_GMAX", "3")  # the cached plan's key
 
 import jax  # noqa: E402
