@@ -739,17 +739,34 @@ def test_hier_adjoint_consecutive_butterflies(rng):
     masks = tuple(p[-1] for p in passes)
     m = net.m
 
+    # adjoint identity <G x, u> == <x, G^T u> on random vectors (a dense
+    # operator oracle at m=2^15 costs 48G numpy ops — far too slow), plus
+    # the gather-semantics check of G^T on a one-hot u: column j of G has
+    # ones exactly at output slots k with idx[k] == j, so (G^T u)[j]
+    # sums u over those slots.
+    x = rng.normal(size=m).astype(np.float32)
     u = rng.normal(size=m).astype(np.float32)
-    (out,) = rd.hier_apply_batched_t(
-        (jnp.asarray(u.reshape(1, -1, 128)),),
-        meta,
-        tuple(mk[None] for mk in masks),
-        bl,
-        interpret=True,
+    (gx,) = rd.hier_apply_batched(
+        (jnp.asarray(x.reshape(-1, 128)),),
+        meta, tuple(mk[None] for mk in masks), bl, interpret=True,
     )
-    # G^T u via the forward host simulator: (G e_j) . u for each j —
-    # with G row j of apply_host(eye) = G e_j, G^T u = apply_host(eye) @ u
-    Gt_u = net.apply_host(np.eye(m, dtype=np.float32)) @ u.astype(np.float64)
+    (gtu,) = rd.hier_apply_batched_t(
+        (jnp.asarray(u.reshape(1, -1, 128)),),
+        meta, tuple(mk[None] for mk in masks), bl, interpret=True,
+    )
+    lhs = float(np.asarray(gx).reshape(-1).astype(np.float64) @ u)
+    rhs = float(x.astype(np.float64) @ np.asarray(gtu).reshape(-1))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+    # direct semantics on the used slots: (G^T u)[j] = sum_{k<T, idx[k]=j} u[k]
+    # (don't-care slots k >= T carry filler routing, so zero them)
+    uz = u.copy()
+    uz[T:] = 0.0
+    (gtz,) = rd.hier_apply_batched_t(
+        (jnp.asarray(uz.reshape(1, -1, 128)),),
+        meta, tuple(mk[None] for mk in masks), bl, interpret=True,
+    )
+    want = np.zeros(m, np.float64)
+    np.add.at(want, idx, uz[:T].astype(np.float64))
     np.testing.assert_allclose(
-        np.asarray(out).reshape(-1), Gt_u, rtol=1e-5, atol=1e-4
+        np.asarray(gtz).reshape(-1)[:n], want[:n], rtol=1e-4, atol=1e-4
     )
