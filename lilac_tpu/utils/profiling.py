@@ -314,7 +314,10 @@ def measure_plan_stage_time(plan, reps: int = 30):
         m = A.m
     elif isinstance(A, RoutedMatHierP):
         # hier: replay every group's pass schedule (forward direction)
-        # on synthetic planes — the per-matvec pass-sweep floor
+        # on synthetic planes — the per-matvec pass-sweep floor. Masks
+        # MUST be jit ARGUMENTS: closing over them serializes the whole
+        # plan (hundreds of MB) as program constants through the remote
+        # compile (HTTP 413, measured 2026-08-21).
         npl = 2 if A.groups[0].dfpair else 1
         m = A.m
         rng = np.random.default_rng(0)
@@ -322,25 +325,25 @@ def measure_plan_stage_time(plan, reps: int = 30):
             jnp.asarray(rng.normal(size=(m // 128, 128)).astype(np.float32))
             for _ in range(npl)
         )
+        metas = tuple(grp.pass_meta for grp in A.groups)  # static
+        gmasks = tuple(grp.pass_masks for grp in A.groups)
 
         @jax.jit
-        def chain_h(p):
+        def chain_h(p, gm):
             def body(_, pp):
                 acc = None
-                for grp in A.groups:
-                    outs = rd.hier_apply_batched(
-                        pp, grp.pass_meta, grp.pass_masks, A.bl
-                    )
+                for meta, masks in zip(metas, gm):
+                    outs = rd.hier_apply_batched(pp, meta, masks, A.bl)
                     t = outs[0][0]  # net 0's plane keeps data dependence
                     acc = t if acc is None else acc + t
                 return (acc,) + pp[1:]
 
             return jax.lax.fori_loop(0, reps, body, p)
 
-        out = chain_h(planes)
+        out = chain_h(planes, gmasks)
         _ = np.asarray(out[0][0, 0])  # fence
         t0 = _time.perf_counter()
-        out = chain_h(planes)
+        out = chain_h(planes, gmasks)
         _ = np.asarray(out[0][0, 0])
         return (_time.perf_counter() - t0) / reps
     else:
@@ -350,21 +353,23 @@ def measure_plan_stage_time(plan, reps: int = 30):
         jnp.asarray(rng.normal(size=(m // 128, 128)).astype(np.float32))
         for _ in range(npl)
     )
+    seg_meta = tuple((kinds, dists) for _, kinds, dists in segs)  # static
+    seg_masks = tuple(masks for masks, _, _ in segs)
 
     @jax.jit
-    def chain(p):
+    def chain(p, sm):
         def body(_, pp):
-            for masks, kinds, dists in segs:
+            for (kinds, dists), masks in zip(seg_meta, sm):
                 outs = rd.routed_apply(pp, masks, kinds, dists)
                 pp = tuple(o[0] for o in outs)
             return pp
 
         return jax.lax.fori_loop(0, reps, body, p)
 
-    out = chain(planes)
+    out = chain(planes, seg_masks)
     _ = np.asarray(out[0][0, 0])  # fence
     t0 = _time.perf_counter()
-    out = chain(planes)
+    out = chain(planes, seg_masks)
     _ = np.asarray(out[0][0, 0])
     return (_time.perf_counter() - t0) / reps
 
