@@ -429,9 +429,10 @@ def build_model_v2(
     # small corpora: a single holdout split of max(1, 0.25*n) rows is
     # statistical noise — average the held-out accuracy over several
     # random splits (repeated holdout) so the recorded number means
-    # something; large corpora keep the single-split protocol of the
-    # reference (suite.py:97-102)
-    n_splits = 8 if len(rows) < 40 else 1
+    # something (at 176 rows a single split once read 0.886 against a
+    # 0.788 train accuracy — luck, not signal); large corpora keep the
+    # single-split protocol of the reference (suite.py:97-102)
+    n_splits = 8 if len(rows) < 40 else 5 if len(rows) < 500 else 1
     accs_tr, accs_te = [], []
     for k in range(n_splits):
         rng = np.random.default_rng(seed + k)
