@@ -235,7 +235,26 @@ def main():
     # and the emitted error should say so rather than "no class completed"
     global _phase
     _phase = "device-init (axon tunnel)"
-    dev = jax.devices()[0]
+    # an unreachable tunnel can either HANG jax.devices() (watchdog
+    # handles that) or RAISE 'Unable to initialize backend' (observed
+    # 2026-08-21 during a ~1h outage): retry with backoff until the
+    # budget — a mid-budget recovery still captures rungs, and a
+    # never-recovering tunnel still ends in the parseable best-so-far
+    # line instead of a naked traceback
+    dev = None
+    while dev is None:
+        try:
+            dev = jax.devices()[0]
+        except RuntimeError as e:
+            print(f"bench: device init failed ({e}); retrying in 30s",
+                  file=sys.stderr)
+            time.sleep(30.0)
+            try:  # drop the cached failed-backend state before retrying
+                import jax.extend
+
+                jax.extend.backend.clear_backends()
+            except Exception:
+                pass
     print(f"bench: device {dev} up at {_elapsed():.1f}s", file=sys.stderr)
     _phase = "fingerprint"
     fp = _fingerprint(quick=True)  # cheap probes only, before any rung
