@@ -269,13 +269,13 @@ def main():
         _best = line if ok else {**line, "error": "zeta verification FAILED"}
         _emit_and_exit(0 if ok else 1)
 
-    # Rung names map to (NPB class, factored segmode override). A0 runs the
-    # gather path; later rungs use the configured (routed) path. Class A
-    # itself is NOT on the routed ladder: its routed capture is 0.88x (the
-    # problem is dispatch-overhead-bound at n=14k) and a later rung always
-    # overwrites the banked best, so the slot is better spent reaching C/D.
-    ladder = [("A0", "A", "single"), ("B", "B", None), ("C", "C", None),
-              ("D", "D", None)]
+    # Rung names map to (NPB class, factored segmode override). A0 runs
+    # the compile-light gather path as the insurance rung; the routed-A
+    # rung follows (round 5: the fused glue moved class A from 0.88x to
+    # near the MKL bar, and every rung's banked line stays in the stdout
+    # tail even though later rungs overwrite the final best line).
+    ladder = [("A0", "A", "single"), ("A", "A", None), ("B", "B", None),
+              ("C", "C", None), ("D", "D", None)]
     for i, (rung, cls, segmode) in enumerate(ladder):
         try:
             line, wall = _run_class(cls, dtype, kernel, segmode=segmode)
