@@ -254,9 +254,8 @@ def routed_spmv_adj_t(
     motion) and Gᵀ scatter-adds slots into x-space. The transpose
     therefore costs ZERO extra plan bytes — no second network, no CSC
     copy (the reference stages a separate transposed operator for
-    BiCG's Aᵀp, SparseBench iter.f). df64 adjoints need compensated
-    merge adds in-kernel and are future work; this is the f32 path.
-    """
+    BiCG's Aᵀp, SparseBench iter.f). This is the f32 path; df64 is
+    routed_spmv_adj_t_df (compensated in-kernel merges)."""
     n, ncol = A.shape
     B = len(A.chunks)
     if A.inv_perm is not None:
