@@ -5,7 +5,7 @@ cd "$(dirname "$0")/.."
 mkdir -p tools/out7
 
 probe() {
-  timeout 120 python - <<'EOF' > /dev/null 2>&1
+  timeout 360 python - <<'EOF' > /dev/null 2>&1
 import numpy as np, jax, jax.numpy as jnp
 a = jnp.ones((4096, 4096), jnp.float32)
 b = jax.jit(lambda x: x @ x)(a)
