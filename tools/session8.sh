@@ -34,3 +34,5 @@ step classA_routed 900 env LILAC_BENCH_CLASS=A LILAC_BENCH_BUDGET_S=800 \
   python bench.py
 
 step autotune_more3 10800 python -m lilac_tpu.bench autotune-collect --budget-s 10500
+
+step autotune_retrain 600 python -m lilac_tpu.bench autotune-train
