@@ -60,14 +60,18 @@ def main(argv=None):
     pi.add_argument("--iters", type=int, default=64)
 
     pc = sub.add_parser("autotune-collect")  # ≙ results/cgo/run_all
-    pc.add_argument("--rows", default="data/autotune_rows.jsonl")
+    # rows live under the package (git-tracked), NOT data/: the corpus is
+    # chip-minutes-expensive to regrow and a container restart wiped a
+    # 176-row data/ corpus on 2026-08-21 — plan caches are rebuildable
+    # in minutes, measurement corpora are not
+    pc.add_argument("--rows", default="lilac_tpu/autotune/rows.jsonl")
     pc.add_argument("--kernels", default="xla_ell,xla_sell,xla_csr,routed")
     pc.add_argument("--max-n", type=int, default=250_000)
     pc.add_argument("--budget-s", type=float, default=None)
     pc.add_argument("--reps", type=int, default=20)
 
     pt = sub.add_parser("autotune-train")  # ≙ results/cgo/suite.py
-    pt.add_argument("--rows", default="data/autotune_rows.jsonl")
+    pt.add_argument("--rows", default="lilac_tpu/autotune/rows.jsonl")
     pt.add_argument("--out", default=None)
     pt.add_argument("--holdout", type=float, default=0.25)
 
